@@ -1,0 +1,38 @@
+"""lexls_tpu — a TPU-native lexicographic least-squares framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+reference C++ library lexls (jrl-umi3218/lexls): lexicographic QR over
+cascaded priority levels, a primal active-set method for inequality
+hierarchies, warm/hot starting across sequences of related problems,
+regularization, and batched multi-chip solving over a device mesh.
+"""
+
+__version__ = "0.1.0"
+
+from .types import (
+    CtrType,
+    EqualityHierarchy,
+    InequalityHierarchy,
+    LexLSError,
+    ObjectiveType,
+    ParametersLexLSE,
+    ParametersLexLSI,
+    RegularizationType,
+    TerminationStatus,
+    build_general_hierarchy,
+    build_hierarchy_with_bounds,
+)
+
+__all__ = [
+    "CtrType",
+    "EqualityHierarchy",
+    "InequalityHierarchy",
+    "LexLSError",
+    "ObjectiveType",
+    "ParametersLexLSE",
+    "ParametersLexLSI",
+    "RegularizationType",
+    "TerminationStatus",
+    "build_general_hierarchy",
+    "build_hierarchy_with_bounds",
+]
