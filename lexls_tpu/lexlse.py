@@ -1,0 +1,469 @@
+"""TPU-native equality-constrained lexicographic least-squares (LexLSE).
+
+A from-scratch JAX implementation of the lexicographic QR ("l-QR") with
+column pivoting and the associated solves/sensitivities.  Capabilities
+mirror the reference engine ``include/lexls/lexlse.h`` (factorize
+:117-506, solve :1015-1045, get_v :1560-1582, ObjectiveSensitivity
+:511-762, least-norm :1138-1213, variable fixing :132-156), but the
+design is masked/static-shape, built for ``jit``/``vmap``/``shard_map``:
+
+  * **No dynamic shapes.**  Per-level ranks are *discovered* data, not
+    shapes: every pivot step is predicated (a rejected pivot is a no-op),
+    and discovered structure is carried as index arrays (``rank_row``,
+    ``perm``) plus per-level rank counters.
+  * **No compaction.**  Fixed variables are handled by zeroing their
+    columns and eliminating them from the RHS (instead of the reference's
+    column-to-front permutation); inactive constraint rows (when driven by
+    the active-set solver) are zero rows, which provably do not perturb
+    the factorization, residuals, or multipliers.
+  * **One gathered triangular solve.**  The blockwise back-substitution of
+    the reference collapses into a single n x n triangular solve on the
+    gathered pivot rows — one fused XLA op instead of a per-level loop.
+
+All functions are pure; ``dims`` and parameters are static (hashable)
+arguments, array arguments may be batched with ``vmap``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .types import ParametersLexLSE, RegularizationType
+
+# set up dataclass-as-pytree registration
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "lod", "hh", "perm", "rank_row", "ranks", "first_col", "total_rank",
+        "fixed_mask", "fixed_val", "null_space",
+    ],
+    meta_fields=["dims", "n_var"],
+)
+@dataclasses.dataclass(frozen=True)
+class LexQR:
+    """Result of :func:`factorize` (all shapes static).
+
+    lod        (m, n+1)  in-place l-QR storage, RHS in the last column
+    hh         (m,)      Householder scalars (one per processed row)
+    perm       (n,)      column permutation: position q holds variable perm[q]
+    rank_row   (n,)      row index of the pivot occupying position q
+    ranks      (p,)      discovered rank per level
+    first_col  (p,)      first position of each level's pivot block
+    total_rank ()        sum of ranks (excludes fixed variables)
+    fixed_mask (n,) bool which variables are fixed
+    fixed_val  (n,)      their values (0 where not fixed)
+    null_space (n, n+1)  accumulated nullspace basis (regularization only)
+    """
+
+    lod: jax.Array
+    hh: jax.Array
+    perm: jax.Array
+    rank_row: jax.Array
+    ranks: jax.Array
+    first_col: jax.Array
+    total_rank: jax.Array
+    fixed_mask: jax.Array
+    fixed_val: jax.Array
+    null_space: jax.Array
+    dims: Tuple[int, ...]
+    n_var: int
+
+
+def _level_offsets(dims):
+    out = []
+    ofs = 0
+    for d in dims:
+        out.append(ofs)
+        ofs += d
+    return out, ofs
+
+
+# ---------------------------------------------------------------------------
+# Factorization
+# ---------------------------------------------------------------------------
+
+
+def factorize(
+    A: jax.Array,
+    b: jax.Array,
+    dims: Tuple[int, ...],
+    params: ParametersLexLSE = ParametersLexLSE(),
+    fixed_mask: Optional[jax.Array] = None,
+    fixed_val: Optional[jax.Array] = None,
+    reg_factors: Optional[jax.Array] = None,
+) -> LexQR:
+    """Masked column-pivoted Householder l-QR.
+
+    Mirrors reference ``lexlse.h:117-506``: per level, a column-pivoted
+    Householder QR over the remaining variables with rank cutoff
+    ``tol_linear_dependence``, then Gauss elimination of the sub-diagonal
+    block against all lower-priority rows.  Every pivot step is predicated
+    so shapes stay static; a level "stops" when the recomputed max column
+    norm falls below the tolerance (matching the reference's ``break``).
+    """
+    m, n = A.shape
+    dtype = A.dtype
+    n_obj = len(dims)
+    offsets, total_rows = _level_offsets(dims)
+    assert total_rows == m, (dims, m)
+    tol = jnp.asarray(params.tol_linear_dependence, dtype)
+
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros((n,), bool)
+        fixed_val = jnp.zeros((n,), dtype)
+    fixed_val = jnp.where(fixed_mask, fixed_val, jnp.zeros((), dtype))
+
+    # zero fixed columns; eliminate fixed variables from the RHS
+    A_work = jnp.where(fixed_mask[None, :], jnp.zeros((), dtype), A)
+    rhs = b - A @ fixed_val
+    lod = jnp.concatenate([A_work, rhs[:, None]], axis=1)
+
+    hh = jnp.zeros((m,), dtype)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    rank_row = jnp.zeros((n,), jnp.int32)
+    col_pos = jnp.arange(n, dtype=jnp.int32)
+    col_pos_p1 = jnp.arange(n + 1, dtype=jnp.int32)
+
+    ranks = []
+    first_cols = []
+    col_index = jnp.zeros((), jnp.int32)
+
+    regularize = params.regularization_type != RegularizationType.NONE
+    null_space = jnp.zeros((n, n + 1), dtype)
+    if reg_factors is None:
+        reg_factors = jnp.zeros((n_obj,), dtype)
+
+    for obj in range(n_obj):
+        fr, dim = offsets[obj], dims[obj]
+        first_col = col_index
+        first_cols.append(first_col)
+        if dim == 0:
+            ranks.append(jnp.zeros((), jnp.int32))
+            continue
+        K = min(dim, n)  # static bound on this level's rank
+
+        block = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
+        col_norms = jnp.sum(block[:, :n] * block[:, :n], axis=0)
+        rows = jnp.arange(dim, dtype=jnp.int32)
+
+        def pivot_step(counter, carry, fr=fr, dim=dim, rows=rows):
+            lod, col_norms, perm, rank_row, hh, null_space, col_index, stopped = carry
+            row_index = fr + counter
+
+            # --- pivot selection among the remaining columns
+            masked = jnp.where(col_pos >= col_index, col_norms, -jnp.ones((), dtype))
+            piv = jnp.argmax(masked).astype(jnp.int32)
+            # stability recomputation over the remaining rows of this level
+            # (reference ``lexlse.h:208-211``)
+            seg0 = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)[:, :n]
+            colv = jnp.take(seg0, piv, axis=1)
+            row_live = rows >= counter
+            max_val = jnp.sum(jnp.where(row_live, colv * colv, 0))
+            col_norms = col_norms.at[piv].set(max_val)
+
+            ok = max_val >= tol
+            accept = ok & jnp.logical_not(stopped) & (col_index < n)
+            stopped = stopped | jnp.logical_not(ok)
+
+            # --- predicated column swap (full column: T-blocks of earlier
+            # levels must follow the permutation, ``lexlse.h:225``)
+            ca = lod[:, :n].take(col_index, axis=1)
+            cb = lod[:, :n].take(piv, axis=1)
+            lodn = lod.at[:, col_index].set(cb).at[:, piv].set(ca)
+            lod = jnp.where(accept, lodn, lod)
+            na, nb = col_norms[col_index], col_norms[piv]
+            col_norms = jnp.where(
+                accept, col_norms.at[col_index].set(nb).at[piv].set(na), col_norms
+            )
+            pa, pb = perm[col_index], perm[piv]
+            perm = jnp.where(accept, perm.at[col_index].set(pb).at[piv].set(pa), perm)
+            if regularize:
+                za = null_space[:, :n].take(col_index, axis=1)
+                zb = null_space[:, :n].take(piv, axis=1)
+                nsn = null_space.at[:, col_index].set(zb).at[:, piv].set(za)
+                null_space = jnp.where(accept, nsn, null_space)
+
+            # --- Householder reflection of the remaining rows, applied to
+            # the remaining columns and the RHS (``lexlse.h:239-248``)
+            block = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
+            seg = jnp.where(row_live, jnp.take(block, col_index, axis=1)[:dim], 0)
+            c0 = seg[counter]
+            s_tail = jnp.sum(jnp.where(rows > counter, seg * seg, 0))
+            nonzero_tail = s_tail > 0
+            beta = jnp.sqrt(c0 * c0 + s_tail)
+            beta = jnp.where(c0 >= 0, -beta, beta)
+            beta = jnp.where(nonzero_tail, beta, c0)
+            denom = jnp.where(nonzero_tail, c0 - beta, jnp.ones((), dtype))
+            tau = jnp.where(nonzero_tail, (beta - c0) / beta, 0)
+            essential = seg / denom
+            u = jnp.where(rows == counter, jnp.ones((), dtype),
+                          jnp.where(rows > counter, essential, 0))
+
+            w = u @ block  # (n+1,)
+            colmask = col_pos_p1 > col_index
+            upd = tau * jnp.where(accept, 1.0, 0.0)
+            new_block = block - upd * jnp.outer(u, jnp.where(colmask, w, 0))
+            # write the pivot column: beta at the diagonal, essentials below
+            newcol = jnp.where(rows == counter, beta,
+                               jnp.where(rows > counter, essential,
+                                         jnp.take(block, col_index, axis=1)))
+            newcol = jnp.where(accept, newcol, jnp.take(block, col_index, axis=1))
+            new_block = new_block.at[:, col_index].set(newcol)
+            lod = lax.dynamic_update_slice_in_dim(lod, new_block, fr, axis=0)
+
+            hh = hh.at[row_index].set(jnp.where(accept, tau, hh[row_index]))
+            rank_row = rank_row.at[col_index].set(
+                jnp.where(accept, row_index, rank_row[col_index])
+            )
+
+            # --- downdate of column norms (``lexlse.h:260-266``)
+            pivot_row = new_block[counter, :n]
+            dd = jnp.where(col_pos > col_index, pivot_row * pivot_row, 0)
+            col_norms = jnp.where(accept, col_norms - dd, col_norms)
+
+            col_index = col_index + accept.astype(jnp.int32)
+            return (lod, col_norms, perm, rank_row, hh, null_space, col_index, stopped)
+
+        carry = (lod, col_norms, perm, rank_row, hh, null_space, col_index,
+                 jnp.zeros((), bool))
+        lod, _, perm, rank_row, hh, null_space, col_index, _ = lax.fori_loop(
+            0, dim, pivot_step, carry
+        )
+
+        rank = col_index - first_col
+        ranks.append(rank)
+
+        # --- regularization of this level's RHS segment (before Gauss)
+        if regularize:
+            from . import regularization as _reg
+
+            lod, null_space = _reg.apply_level_regularization(
+                params, lod, null_space, fr, dim, K, first_col, rank,
+                col_index, reg_factors[obj], n,
+            )
+
+        # --- Gauss elimination of all lower-priority rows
+        # (reference ``lexlse.h:431-471``), padded to static width K.
+        # NOTE: gathers use clipped column indices + rank masks, never
+        # lax.dynamic_slice (whose out-of-range clamping would silently
+        # misalign the padded block when first_col + K > n).
+        if obj < n_obj - 1:
+            below_fr = fr + dim
+            # R block, identity-extended beyond the discovered rank
+            cols_k = jnp.minimum(first_col + jnp.arange(K, dtype=jnp.int32), n)
+            Rpad = lod[fr : fr + K, :].take(cols_k, axis=1)
+            i_idx = jnp.arange(K)[:, None]
+            j_idx = jnp.arange(K)[None, :]
+            in_rank = (i_idx < rank) & (j_idx < rank) & (j_idx >= i_idx)
+            Rm = jnp.where(in_rank, Rpad,
+                           jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
+            Bpad = lod[below_fr:, :].take(cols_k, axis=1)
+            # L = B R^{-1}  (solve on the right)
+            L = jax.scipy.linalg.solve_triangular(Rm.T, Bpad.T, lower=True).T
+            Lm = jnp.where(jnp.arange(K)[None, :] < rank, L, 0)
+            # Up rows: this level's pivot rows, masked to the trailing columns
+            Up = lod[fr : fr + K, :]
+            Up = jnp.where(jnp.arange(K)[:, None] < rank, Up, 0)
+            Up = jnp.where(col_pos_p1[None, :] >= col_index, Up, 0)
+            below = lod[below_fr:, :]
+            new_below = below - Lm @ Up
+            # write L into the eliminated block's columns [first_col, col_index)
+            rel = jnp.clip(col_pos_p1 - first_col, 0, K - 1)
+            L_full = Lm.take(rel, axis=1)
+            store_mask = (col_pos_p1[None, :] >= first_col) & (
+                col_pos_p1[None, :] < col_index
+            )
+            new_below = jnp.where(store_mask, L_full, new_below)
+            lod = lod.at[below_fr:, :].set(new_below)
+
+    return LexQR(
+        lod=lod, hh=hh, perm=perm, rank_row=rank_row,
+        ranks=jnp.stack(ranks) if ranks else jnp.zeros((0,), jnp.int32),
+        first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
+        total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
+        null_space=null_space, dims=tuple(dims), n_var=n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solves
+# ---------------------------------------------------------------------------
+
+
+def solve(f: LexQR) -> jax.Array:
+    """Basic solution (free variables = 0), reference ``lexlse.h:1015-1045``.
+
+    The reference's per-level back-substitution collapses into one gathered
+    n x n triangular solve: row q of the gathered system is the pivot row
+    occupying position q (identity rows beyond ``total_rank``).
+    """
+    n = f.n_var
+    dtype = f.lod.dtype
+    q = jnp.arange(n)
+    U = f.lod[f.rank_row, :]  # (n, n+1) gathered pivot rows
+    live = q < f.total_rank
+    Utri = jnp.where(live[:, None], jnp.triu(U[:, :n]), jnp.eye(n, dtype=dtype))
+    rhs = jnp.where(live, U[:, n], 0)
+    x_pos = jax.scipy.linalg.solve_triangular(Utri, rhs, lower=False)
+    x = jnp.zeros(n, dtype).at[f.perm].set(x_pos)
+    return jnp.where(f.fixed_mask, f.fixed_val, x)
+
+
+def solve_least_norm(f: LexQR) -> jax.Array:
+    """Least-norm completion via the normal equations on the free block,
+    reference ``solveLeastNorm_2`` (``lexlse.h:1138-1213``).
+
+    In position space the gathered staircase is [R | T | rhs] with R the
+    total_rank x total_rank triangular block; the free part solves
+    (T'T + I) x_free = T' t_rhs with T = R^{-1} (trailing columns).  Fixed
+    variables never enter (their columns are zero, so their free component
+    solves to 0 and is overwritten by the fixed value).
+    """
+    n = f.n_var
+    dtype = f.lod.dtype
+    q = jnp.arange(n)
+    live = q < f.total_rank
+    U = f.lod[f.rank_row, :]
+    Utri = jnp.where(live[:, None], jnp.triu(U[:, :n]), jnp.eye(n, dtype=dtype))
+    rhs = jnp.where(live, U[:, n], 0)
+
+    # W = R^{-1} [T | rhs] in position space: solve against *all* columns,
+    # then keep only the free ones.  Columns of Utri beyond total_rank are
+    # the T block (plus identity rows below) — mask to isolate.
+    TR = jnp.where(live[:, None], jnp.where(~live[None, :], U[:, :n], 0), 0)
+    aug = jnp.concatenate([TR, rhs[:, None]], axis=1)
+    W = jax.scipy.linalg.solve_triangular(Utri, aug, lower=False)
+    T, t = W[:, :n], W[:, n]
+
+    free = (~live) & (~f.fixed_mask[f.perm])
+    Tf = jnp.where(free[None, :], T, 0)
+    D = Tf.T @ Tf + jnp.eye(n, dtype=dtype)
+    d = Tf.T @ t
+    x_free = jnp.linalg.solve(D, d) * free
+
+    # x_rank = R^{-1}(rhs - T_cols x_free) on the rank positions
+    x_rank = jax.scipy.linalg.solve_triangular(
+        Utri, rhs - jnp.where(live[:, None], jnp.where(~live[None, :], U[:, :n], 0), 0) @ x_free,
+        lower=False,
+    ) * live
+    x_pos = x_rank + x_free
+    x = jnp.zeros(n, dtype).at[f.perm].set(x_pos)
+    return jnp.where(f.fixed_mask, f.fixed_val, x)
+
+
+# ---------------------------------------------------------------------------
+# Residual and Lagrange multipliers
+# ---------------------------------------------------------------------------
+
+
+def _apply_hh_seq(f: LexQR, obj: int, seg: jax.Array) -> jax.Array:
+    """Apply Q_obj = H_0 ... H_{K-1} to ``seg`` (reflections with tau = 0
+    are no-ops, which masks steps beyond the discovered rank).  Mirrors
+    Eigen's ``householderSequence(...).applyOnTheLeft`` (``lexlse.h:550``).
+    """
+    offsets, _ = _level_offsets(f.dims)
+    fr, dim = offsets[obj], f.dims[obj]
+    K = min(dim, f.n_var)
+    fcol = f.first_col[obj]
+    # clipped gather (reflections beyond the rank have tau = 0 -> no-ops)
+    cols = jnp.minimum(fcol + jnp.arange(K, dtype=jnp.int32), f.n_var)
+    V = f.lod[fr : fr + dim, :].take(cols, axis=1)
+    h = f.hh[fr : fr + dim]
+    rows = jnp.arange(dim)
+
+    def body(i, seg):
+        j = K - 1 - i
+        tau = h[j]
+        col = jnp.take(V, j, axis=1)
+        u = jnp.where(rows == j, jnp.ones((), seg.dtype),
+                      jnp.where(rows > j, col, 0))
+        return seg - tau * u * (u @ seg)
+
+    return lax.fori_loop(0, K, body, seg)
+
+
+def residual(f: LexQR) -> jax.Array:
+    """v = A x* - b reconstructed per level through the Householder
+    sequence (reference ``get_v``, ``lexlse.h:1560-1582``)."""
+    offsets, m = _level_offsets(f.dims)
+    v = jnp.zeros((m,), f.lod.dtype)
+    for obj, (fr, dim) in enumerate(zip(offsets, f.dims)):
+        if dim == 0:
+            continue
+        rows = jnp.arange(dim)
+        rhs_seg = lax.dynamic_slice_in_dim(f.lod[:, f.n_var], fr, dim)
+        seg = jnp.where(rows >= f.ranks[obj], -rhs_seg, 0)
+        v = lax.dynamic_update_slice_in_dim(v, _apply_hh_seq(f, obj, seg), fr, axis=0)
+    return v
+
+
+def objective_sensitivity(
+    f: LexQR, obj_index: int, A_fixed_cols: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Lagrange multipliers of objective ``obj_index`` (static int).
+
+    Returns (lam_fixed (n,), lam (m,)): ``lam`` holds multipliers for every
+    constraint row of levels <= obj_index (zero elsewhere, including masked
+    rows); ``lam_fixed`` holds per-variable multipliers of the fixed
+    variables (zero where not fixed), computed as -A_fix^T lam with the
+    *original* fixed columns supplied via ``A_fixed_cols`` (m, n).
+
+    Mirrors reference ``ObjectiveSensitivity`` (``lexlse.h:611-762``): the
+    residual of level obj_index is reconstructed through Q, then multipliers
+    back-propagate through the coupling blocks of all higher levels.
+    """
+    offsets, m = _level_offsets(f.dims)
+    n = f.n_var
+    dtype = f.lod.dtype
+    lam = jnp.zeros((m,), dtype)
+    rhs = jnp.zeros((n,), dtype)
+    col_pos = jnp.arange(n)
+
+    fr, dim = offsets[obj_index], f.dims[obj_index]
+    rows = jnp.arange(dim)
+    rhs_seg = lax.dynamic_slice_in_dim(f.lod[:, n], fr, dim)
+    seg = jnp.where(rows >= f.ranks[obj_index], -rhs_seg, 0)
+    seg = _apply_hh_seq(f, obj_index, seg)
+    lam = lax.dynamic_update_slice_in_dim(lam, seg, fr, axis=0)
+
+    if obj_index > 0:
+        block = lax.dynamic_slice_in_dim(f.lod, fr, dim, axis=0)[:, :n]
+        contrib = block.T @ seg
+        rhs = rhs - jnp.where(col_pos < f.first_col[obj_index], contrib, 0)
+        for k in range(obj_index - 1, -1, -1):
+            frk, dimk = offsets[k], f.dims[k]
+            K = min(dimk, n)
+            rowsk = jnp.arange(dimk)
+            cols = jnp.minimum(f.first_col[k] + jnp.arange(K, dtype=jnp.int32), n - 1)
+            rhs_slice = rhs.take(cols)
+            segk = jnp.zeros((dimk,), dtype).at[:K].set(rhs_slice)
+            segk = jnp.where(rowsk < f.ranks[k], segk, 0)
+            segk = _apply_hh_seq(f, k, segk)
+            lam = lax.dynamic_update_slice_in_dim(lam, segk, frk, axis=0)
+            blockk = lax.dynamic_slice_in_dim(f.lod, frk, dimk, axis=0)[:, :n]
+            contrib = blockk.T @ segk
+            rhs = rhs - jnp.where(col_pos < f.first_col[k], contrib, 0)
+
+    lam_fixed = jnp.zeros((n,), dtype)
+    if A_fixed_cols is not None:
+        lam_fixed = jnp.where(f.fixed_mask, -(A_fixed_cols.T @ lam), 0)
+    return lam_fixed, lam
+
+
+def lambda_matrix(f: LexQR, A_fixed_cols: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+    """All multipliers: (lam_fixed (n, p), lam (m, p)); column k = λ of
+    objective k (cf. the MEX ``debug.lambda`` output)."""
+    lf, lm = [], []
+    for k in range(len(f.dims)):
+        a, b_ = objective_sensitivity(f, k, A_fixed_cols)
+        lf.append(a)
+        lm.append(b_)
+    return jnp.stack(lf, axis=1), jnp.stack(lm, axis=1)

@@ -1,19 +1,19 @@
 """Test configuration.
 
-Tests run on CPU with 8 virtual devices (multi-chip sharding tests) and
-float64 enabled (numerical-parity tests vs the float64 oracle).  TPU runs
-are exercised by bench.py / the driver, not by the unit-test suite.
+Tests run on CPU with 8 virtual devices (for multi-chip sharding tests)
+and float64 enabled (numerical-parity tests vs the float64 oracle).  TPU
+runs are exercised by bench.py / the driver, not by the unit-test suite.
+
+NOTE: in this image ``jax`` is preloaded before user code runs, so
+environment variables (JAX_PLATFORMS / XLA_FLAGS / JAX_ENABLE_X64) are
+already consumed — configuration must go through ``jax.config.update``.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
