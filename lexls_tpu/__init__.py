@@ -22,8 +22,22 @@ from .types import (
     build_general_hierarchy,
     build_hierarchy_with_bounds,
 )
+from .lexlsi import (
+    LexLSIResult,
+    LexLSIState,
+    Structure,
+    solve,
+    solve_core,
+    solve_lambda,
+)
 
 __all__ = [
+    "LexLSIResult",
+    "LexLSIState",
+    "Structure",
+    "solve",
+    "solve_core",
+    "solve_lambda",
     "CtrType",
     "EqualityHierarchy",
     "InequalityHierarchy",
