@@ -1,0 +1,139 @@
+"""Batched and mesh-sharded solving.
+
+Design (SURVEY §2.4, §7.1): one ``vmap`` of the whole-solver
+``while_loop`` gives batched solving with per-instance convergence —
+converged instances no-op via predication until every instance's
+termination condition holds, so batch cost is the max iteration count
+over the batch.  ``shard_map`` over a ``Mesh`` axis shards the batch
+across chips (ICI/DCN); the only cross-chip communication is the metric
+reduction (max iterations / solved count), via ``psum``/``pmax``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..lexlsi import LexLSIState, Structure, initial_activation, solve_core
+from ..types import InequalityHierarchy, ParametersLexLSI
+
+
+def batched_initial_arrays(prob: InequalityHierarchy, batch: int, dtype=jnp.float64):
+    """Initial (ctr_type, stamp, next_stamp, x0, v0) broadcast to a batch.
+
+    The per-instance activation state is identical at cold start (EQ rows
+    auto-activate); callers replace these with carried state for warm
+    starts."""
+    ctr0, stamp0, next0 = initial_activation(prob)
+    return (
+        jnp.broadcast_to(jnp.asarray(ctr0), (batch,) + ctr0.shape),
+        jnp.broadcast_to(jnp.asarray(stamp0), (batch,) + stamp0.shape),
+        jnp.broadcast_to(jnp.asarray(next0), (batch,)),
+        jnp.zeros((batch, prob.n_var), dtype),
+        jnp.zeros((batch, prob.n_ctr), dtype),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "params", "x_guess_specified", "v0_specified"),
+)
+def solve_batched(
+    A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
+    struct: Structure, params: ParametersLexLSI,
+    x_guess_specified: bool = False, v0_specified: bool = False,
+) -> LexLSIState:
+    """``vmap`` of the whole solver over the leading batch axis.
+
+    All array arguments carry a leading batch dimension except ``reg``
+    (per-level regularization, shared)."""
+    return jax.vmap(
+        lambda a, l, u, c, s, ns, x, v: solve_core(
+            a, l, u, c, s, ns, x, v, reg,
+            struct=struct, params=params,
+            x_guess_specified=x_guess_specified, v0_specified=v0_specified,
+        )
+    )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+
+
+def make_sharded_solver(
+    mesh: Mesh,
+    struct: Structure,
+    params: ParametersLexLSI,
+    axis: str = "batch",
+    x_guess_specified: bool = False,
+    v0_specified: bool = False,
+):
+    """Build a jitted multi-chip solver over ``mesh``.
+
+    The batch axis of every per-instance array is sharded over ``axis``;
+    each chip runs the vmapped solver on its local shard (zero cross-chip
+    communication in the solve itself), then global summary metrics are
+    reduced over ICI with ``psum``/``pmax``.
+
+    Returns ``fn(A, lb, ub, ctr0, stamp0, next0, x0, v0, reg) ->
+    (state, metrics)`` where ``metrics = {"solved": global count,
+    "max_iterations": global max, "sum_iterations": global sum}``.
+    """
+    shard_map = jax.shard_map
+
+    spec = P(axis)
+
+    def local_solve(A, lb, ub, c0, s0, n0, x0, v0, reg):
+        st = solve_batched(
+            A, lb, ub, c0, s0, n0, x0, v0, reg,
+            struct=struct, params=params,
+            x_guess_specified=x_guess_specified, v0_specified=v0_specified,
+        )
+        solved = jax.lax.psum(jnp.sum(st.status == 0).astype(jnp.int32), axis)
+        max_it = jax.lax.pmax(jnp.max(st.it), axis)
+        sum_it = jax.lax.psum(jnp.sum(st.it).astype(jnp.int32), axis)
+        return st, {"solved": solved, "max_iterations": max_it,
+                    "sum_iterations": sum_it}
+
+    sharded = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(spec,) * 8 + (P(),),
+        out_specs=(
+            jax.tree_util.tree_map(lambda _: spec, _state_structure(struct, params)),
+            {"solved": P(), "max_iterations": P(), "sum_iterations": P()},
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _state_structure(struct: Structure, params: ParametersLexLSI):
+    """A pytree with the same structure as LexLSIState (values unused —
+    only the treedef matters for building out_specs)."""
+    from ..lexlsi import _dummy_lexqr
+    import dataclasses as _dc
+
+    dummy_f = _dummy_lexqr(struct, jnp.float32)  # only the treedef is used
+    cap = params.max_number_of_factorizations + 2
+    z = lambda *s: 0  # noqa: E731 — placeholder leaf
+    return LexLSIState(
+        x=0, v=0, dx=0, dv=0, Ax=0, Adx=0,
+        ctr_type=0, stamp=0, next_stamp=0, lb=0, ub=0,
+        it=0, n_act=0, n_deact=0, n_fact=0, status=0,
+        cyc_counter=0, cyc_prev_op=0, cyc_prev_row=0, cyc_prev_type=0,
+        log_obj=0, log_ctr=0, log_type=0, log_value=0, log_rank=0,
+        log_cycling=0, log_len=0,
+        f=dataclasses_replace_all_zero(dummy_f),
+    )
+
+
+def dataclasses_replace_all_zero(f):
+    import dataclasses
+
+    return dataclasses.replace(
+        f, **{k: 0 for k in (
+            "lod", "hh", "perm", "rank_row", "ranks", "first_col",
+            "total_rank", "fixed_mask", "fixed_val", "null_space")}
+    )

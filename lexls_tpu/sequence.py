@@ -1,0 +1,115 @@
+"""Warm-started sequences of related problems (the IK-sequence loop).
+
+The reference's design point is "sequences of inverse-kinematics
+problems with few active-set changes" (``README.md:14``): the user
+feeds the final active set (``getActiveCtr``) and solution of solve *k*
+into ``api_activate``/``set_x0`` of solve *k+1* (checkpoint/resume ≙
+warm start, SURVEY §5).  Here that loop runs **on device** as a
+``lax.scan`` over problem instances — the warm-start state {x, final
+activation types, stamps} is the scan carry, so a whole sequence runs
+in one XLA computation without host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .lexlsi import LexLSIState, Structure, solve_core
+from .types import CtrType, ParametersLexLSI
+
+
+def _device_initial_activation(A, lb, ub, guess_type, struct: Structure):
+    """On-device equivalent of :func:`lexls_tpu.lexlsi.initial_activation`:
+    equality rows (lb == ub, nonzero normal; simple-bounds rows always)
+    auto-activate first in row order, then the LB/UB guess rows in row
+    order (EQ is not user-settable: a guessed row that became an equality
+    is EQ, a guessed EQ row whose bounds split reverts to inactive)."""
+    m = struct.m
+    eq = jnp.abs(lb - ub) < 1e-15
+    nonzero = jnp.sum(A * A, axis=1) > 0
+    is_bound_row = jnp.zeros((m,), bool).at[: struct.d0].set(struct.simple_bounds)
+    eq = eq & (nonzero | is_bound_row)
+
+    guess_ok = (guess_type == int(CtrType.ACTIVE_LB)) | (
+        guess_type == int(CtrType.ACTIVE_UB)
+    )
+    ctr = jnp.where(eq, int(CtrType.ACTIVE_EQ),
+                    jnp.where(guess_ok, guess_type, int(CtrType.INACTIVE)))
+    ctr = ctr.astype(jnp.int32)
+
+    n_eq = jnp.sum(eq).astype(jnp.int32)
+    eq_order = (jnp.cumsum(eq.astype(jnp.int32)) - 1).astype(jnp.int32)
+    g = guess_ok & jnp.logical_not(eq)
+    g_order = (jnp.cumsum(g.astype(jnp.int32)) - 1).astype(jnp.int32)
+    stamp = jnp.where(eq, eq_order, jnp.where(g, n_eq + g_order, -1))
+    next_stamp = n_eq + jnp.sum(g).astype(jnp.int32)
+    return ctr, stamp, next_stamp
+
+
+@functools.partial(jax.jit, static_argnames=("struct", "params"))
+def solve_sequence(
+    A_seq, lb_seq, ub_seq, reg,
+    struct: Structure, params: ParametersLexLSI,
+):
+    """Solve a sequence of hierarchies with on-device warm starting.
+
+    ``A_seq`` is (T, m, n); ``lb_seq``/``ub_seq`` are (T, m).  Step 0 is
+    a cold solve; step t>0 starts from step t-1's solution and active
+    set.  Returns stacked per-step (x (T, n), v (T, m), status (T,),
+    iterations (T,), factorizations (T,), ctr_type (T, m)).
+    """
+    dtype = A_seq.dtype
+    m, n = struct.m, struct.n_var
+
+    # --- step 0: cold start
+    c0, s0, n0 = _device_initial_activation(
+        A_seq[0], lb_seq[0], ub_seq[0],
+        jnp.zeros((m,), jnp.int32), struct)
+    st0 = solve_core(
+        A_seq[0], lb_seq[0], ub_seq[0], c0, s0, n0,
+        jnp.zeros((n,), dtype), jnp.zeros((m,), dtype), reg,
+        struct=struct, params=params,
+        x_guess_specified=False, v0_specified=False,
+    )
+
+    def step(carry, inputs):
+        x_prev, ctr_prev = carry
+        A, lb, ub = inputs
+        c, s, ns = _device_initial_activation(A, lb, ub, ctr_prev, struct)
+        st = solve_core(
+            A, lb, ub, c, s, ns, x_prev, jnp.zeros((m,), dtype), reg,
+            struct=struct, params=params,
+            x_guess_specified=True, v0_specified=False,
+        )
+        out = (st.x, st.v, st.status, st.it, st.n_fact, st.ctr_type)
+        return (st.x, st.ctr_type), out
+
+    (_, _), outs = lax.scan(
+        step, (st0.x, st0.ctr_type),
+        (A_seq[1:], lb_seq[1:], ub_seq[1:]),
+    )
+
+    cat = lambda a, b: jnp.concatenate([a[None], b], axis=0)  # noqa: E731
+    return (
+        cat(st0.x, outs[0]), cat(st0.v, outs[1]), cat(st0.status, outs[2]),
+        cat(st0.it, outs[3]), cat(st0.n_fact, outs[4]), cat(st0.ctr_type, outs[5]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("struct", "params"))
+def solve_sequence_batched(
+    A_seq, lb_seq, ub_seq, reg,
+    struct: Structure, params: ParametersLexLSI,
+):
+    """``vmap`` of :func:`solve_sequence` over a leading batch axis:
+    ``A_seq`` is (B, T, m, n).  This is the throughput benchmark shape —
+    B independent IK sequences per chip, each warm-started internally."""
+    return jax.vmap(
+        lambda a, l, u: solve_sequence(a, l, u, reg, struct=struct, params=params)
+    )(A_seq, lb_seq, ub_seq)

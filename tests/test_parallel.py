@@ -1,0 +1,118 @@
+"""Batch (vmap), mesh (shard_map), and warm-start sequence (scan) tests.
+
+SURVEY §4 multi-node analogue: single-instance vs vmap vs sharded
+``shard_map`` must produce identical per-instance results; the "fake
+backend" is the 8-device virtual CPU mesh from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import lexls_tpu.lexlsi as jli
+import lexls_tpu.sequence as jseq
+from lexls_tpu import types as T
+from lexls_tpu.oracle import generate as gen
+from lexls_tpu.parallel import batched_initial_arrays, make_sharded_solver, solve_batched
+
+
+def _batch_of_problems(rng, B, n_var=6, dims=(4, 3)):
+    base = gen.random_inequality_hierarchy(rng, n_var, list(dims))
+    As = np.stack([base.A + 1e-2 * rng.standard_normal(base.A.shape) for _ in range(B)])
+    lbs = np.broadcast_to(base.lb, (B,) + base.lb.shape).copy()
+    ubs = np.broadcast_to(base.ub, (B,) + base.ub.shape).copy()
+    return base, As, lbs, ubs
+
+
+def test_vmap_matches_single():
+    rng = np.random.default_rng(0)
+    base, As, lbs, ubs = _batch_of_problems(rng, 5)
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    c0, s0, n0, x0, v0 = batched_initial_arrays(base, 5)
+    st = solve_batched(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        c0, s0, n0, x0, v0, jnp.asarray(base.regularization),
+        struct=struct, params=params)
+    for i in range(5):
+        prob_i = T.InequalityHierarchy(
+            A=As[i], lb=lbs[i], ub=ubs[i], dims=base.dims, n_var=base.n_var)
+        ri = jli.solve(prob_i, params)
+        np.testing.assert_allclose(np.asarray(st.x[i]), ri.x, atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(st.ctr_type[i]), ri.ctr_type)
+        assert int(st.status[i]) == int(ri.status)
+        assert int(st.it[i]) == ri.n_iterations
+
+
+def test_sharded_matches_vmap():
+    rng = np.random.default_rng(1)
+    B = 8
+    base, As, lbs, ubs = _batch_of_problems(rng, B)
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    c0, s0, n0, x0, v0 = batched_initial_arrays(base, B)
+    reg = jnp.asarray(base.regularization)
+
+    ref = solve_batched(jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+                        c0, s0, n0, x0, v0, reg, struct=struct, params=params)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    fn = make_sharded_solver(mesh, struct, params)
+    st, metrics = fn(jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+                     c0, s0, n0, x0, v0, reg)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref.x), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st.status), np.asarray(ref.status))
+    assert int(metrics["solved"]) == int(jnp.sum(ref.status == 0))
+    assert int(metrics["max_iterations"]) == int(jnp.max(ref.it))
+
+
+def test_sequence_matches_host_warm_start():
+    """On-device scan warm-start == host loop passing x/active set."""
+    rng = np.random.default_rng(2)
+    base = gen.random_inequality_hierarchy(rng, 6, [4, 3])
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    m = base.n_ctr
+    Tn = 5
+    As = np.stack([base.A + 2e-3 * t * rng.standard_normal(base.A.shape)
+                   for t in range(Tn)])
+    lbs = np.broadcast_to(base.lb, (Tn, m)).copy()
+    ubs = np.broadcast_to(base.ub, (Tn, m)).copy()
+
+    xs, vs, statuses, its, nfs, cts = jseq.solve_sequence(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        jnp.asarray(base.regularization), struct=struct, params=params)
+
+    # host reference loop
+    prev_x, prev_ct = None, None
+    for t in range(Tn):
+        prob_t = T.InequalityHierarchy(
+            A=As[t], lb=lbs[t], ub=ubs[t], dims=base.dims, n_var=base.n_var)
+        res = jli.solve(prob_t, params, x0=prev_x, active_guess=prev_ct)
+        np.testing.assert_allclose(np.asarray(xs[t]), res.x, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(cts[t]), res.ctr_type)
+        assert int(statuses[t]) == int(res.status)
+        assert int(its[t]) == res.n_iterations
+        prev_x, prev_ct = res.x, res.ctr_type
+
+    # warm-started steps should be much cheaper than the cold one
+    assert int(its[1:].max()) <= int(its[0])
+
+
+def test_sequence_batched_shapes():
+    rng = np.random.default_rng(3)
+    base = gen.random_inequality_hierarchy(rng, 5, [3, 2])
+    struct = jli.Structure.of(base)
+    B, Tn, m = 3, 4, base.n_ctr
+    As = np.stack([np.stack([base.A + 1e-3 * rng.standard_normal(base.A.shape)
+                             for _ in range(Tn)]) for _ in range(B)])
+    lbs = np.broadcast_to(base.lb, (B, Tn, m)).copy()
+    ubs = np.broadcast_to(base.ub, (B, Tn, m)).copy()
+    xs, vs, statuses, its, nfs, cts = jseq.solve_sequence_batched(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        jnp.asarray(base.regularization), struct=struct,
+        params=T.ParametersLexLSI())
+    assert xs.shape == (B, Tn, base.n_var)
+    assert np.all(np.asarray(statuses) == 0)
