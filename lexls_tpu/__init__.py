@@ -22,6 +22,7 @@ from .types import (
     build_general_hierarchy,
     build_hierarchy_with_bounds,
 )
+from .api import LexLSE, LexLSEResult
 from .lexlsi import (
     LexLSIResult,
     LexLSIState,
@@ -32,6 +33,8 @@ from .lexlsi import (
 )
 
 __all__ = [
+    "LexLSE",
+    "LexLSEResult",
     "LexLSIResult",
     "LexLSIState",
     "Structure",

@@ -245,9 +245,31 @@ def factorize(
         if regularize:
             from . import regularization as _reg
 
+            factor = reg_factors[obj]
+            if params.variable_regularization_factor != 0.0:
+                # conditioning-driven damping (``lexlse.h:277-312``,
+                # Chiaverini formula): ce = |rhs|^2 / |R^{-1} rhs|^2
+                cols_k = jnp.minimum(first_col + jnp.arange(K, dtype=jnp.int32), n)
+                Rpad = lod[fr : fr + K, :].take(cols_k, axis=1)
+                i_idx = jnp.arange(K)[:, None]
+                j_idx = jnp.arange(K)[None, :]
+                in_rank = (i_idx < rank) & (j_idx < rank) & (j_idx >= i_idx)
+                Rm = jnp.where(in_rank, Rpad,
+                               jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
+                rows_k = jnp.arange(K)
+                rhs_seg = jnp.where(rows_k < rank, lod[fr : fr + K, n], 0)
+                y = jax.scipy.linalg.solve_triangular(Rm, rhs_seg, lower=False)
+                num = jnp.sum(rhs_seg * rhs_seg)
+                den = jnp.sum(y * y)
+                ce = num / jnp.where(den > 0, den, 1.0)
+                eps = jnp.asarray(params.variable_regularization_factor, dtype)
+                damp = jnp.sqrt(jnp.maximum(1.0 - (ce * ce) / (eps * eps), 0.0))
+                factor = jnp.where((rank > 0) & (ce < eps), damp * factor,
+                                   jnp.zeros((), dtype))
+
             lod, null_space = _reg.apply_level_regularization(
                 params, lod, null_space, fr, dim, K, first_col, rank,
-                col_index, reg_factors[obj], n,
+                col_index, factor, n,
             )
 
         # --- Gauss elimination of all lower-priority rows
@@ -356,6 +378,109 @@ def solve_least_norm(f: LexQR) -> jax.Array:
     ) * live
     x_pos = x_rank + x_free
     x = jnp.zeros(n, dtype).at[f.perm].set(x_pos)
+    return jnp.where(f.fixed_mask, f.fixed_val, x)
+
+
+def _gathered_staircase(f: LexQR):
+    """(Utri, rhs, live): the n x n gathered position-space staircase.
+
+    Row q holds the pivot row occupying position q (identity rows beyond
+    ``total_rank``); ``live`` marks rank positions.  This is the R|T
+    storage the reference copies into ``array`` (``lexlse.h:1080-1094``),
+    realized as masks instead of compaction."""
+    n = f.n_var
+    dtype = f.lod.dtype
+    q = jnp.arange(n)
+    live = q < f.total_rank
+    U = f.lod[f.rank_row, :]
+    Utri = jnp.where(live[:, None], jnp.triu(U[:, :n]), jnp.eye(n, dtype=dtype))
+    rhs = jnp.where(live, U[:, n], 0)
+    return Utri, rhs, live, U
+
+
+def solve_least_norm_1(f: LexQR) -> jax.Array:
+    """Least-norm completion via an orthogonal factorization.
+
+    The reference's ``solveLeastNorm_1`` (``lexlse.h:1052-1131``) applies
+    a Givens sequence on the right to annihilate the free columns of
+    [R | T] — an orthogonal method.  The TPU-native equivalent solves the
+    same problem min ||y||^2 + ||t_hat - T_hat y||^2 (T_hat = R^{-1}T,
+    t_hat = R^{-1}rhs) by one QR of the stacked [T_hat; I] — a fused MXU
+    factorization instead of a scalar rotation sequence; identical result,
+    comparable numerics (orthogonal, no normal-equations squaring)."""
+    n = f.n_var
+    dtype = f.lod.dtype
+    Utri, rhs, live, U = _gathered_staircase(f)
+    T = jnp.where(live[:, None], jnp.where(~live[None, :], U[:, :n], 0), 0)
+    aug = jnp.concatenate([T, rhs[:, None]], axis=1)
+    W = jax.scipy.linalg.solve_triangular(Utri, aug, lower=False)
+    T_hat, t_hat = W[:, :n], W[:, n]
+
+    free = (~live) & (~f.fixed_mask[f.perm])
+    T_hat = jnp.where(free[None, :], T_hat, 0)
+    # stacked LS: rows 0..n-1 = T_hat, rows n..2n-1 = I; non-free columns
+    # are unit columns against a zero target, so their solution is 0
+    S = jnp.concatenate([T_hat, jnp.eye(n, dtype=dtype)], axis=0)
+    b = jnp.concatenate([t_hat, jnp.zeros((n,), dtype)])
+    Q, Rq = jnp.linalg.qr(S)
+    y = jax.scipy.linalg.solve_triangular(Rq, Q.T @ b, lower=False)
+    x_free = y * free
+
+    x_rank = jax.scipy.linalg.solve_triangular(
+        Utri, rhs - T @ x_free, lower=False) * live
+    x = jnp.zeros(n, dtype).at[f.perm].set(x_rank + x_free)
+    return jnp.where(f.fixed_mask, f.fixed_val, x)
+
+
+def solve_least_norm_3(f: LexQR) -> jax.Array:
+    """Least-norm completion reusing the accumulated Tikhonov nullspace
+    basis (reference ``solveLeastNorm_3``, ``lexlse.h:1222-1277``):
+    requires ``factorize`` with regularization_type = TIKHONOV and zero
+    factors, which accumulates Z = cumprod [-R_k^{-1}T_k; I] so that
+    -null_space[:, free] = R^{-1}T and -null_space[:, n] = R^{-1}rhs."""
+    n = f.n_var
+    dtype = f.lod.dtype
+    q = jnp.arange(n)
+    live = q < f.total_rank
+    free = (~live) & (~f.fixed_mask[f.perm])
+    T_hat = jnp.where(live[:, None] & free[None, :], -f.null_space[:, :n], 0)
+    t_hat = jnp.where(live, -f.null_space[:, n], 0)
+    D = T_hat.T @ T_hat + jnp.eye(n, dtype=dtype)
+    x_free = jnp.linalg.solve(D, T_hat.T @ t_hat) * free
+    x_rank = (t_hat - T_hat @ x_free) * live
+    x = jnp.zeros(n, dtype).at[f.perm].set(x_rank + x_free)
+    return jnp.where(f.fixed_mask, f.fixed_val, x)
+
+
+def solve_general_norm(f: LexQR, M: jax.Array, m_rhs: jax.Array) -> jax.Array:
+    """Solution minimizing ||M x - m_rhs||^2 over the solution set
+    (reference ``solveGeneralNorm``, ``lexlse.h:1286-1363``).
+
+    ``M`` is (r, n) in user variable order; columns are permuted into
+    position space, the rank block is eliminated through R, and the free
+    part solves the projected normal equations (identity-extended where
+    the free block is empty)."""
+    n = f.n_var
+    dtype = f.lod.dtype
+    Utri, rhs, live, U = _gathered_staircase(f)
+    T = jnp.where(live[:, None], jnp.where(~live[None, :], U[:, :n], 0), 0)
+
+    Mp = M[:, f.perm]
+    M_rank = jnp.where(live[None, :], Mp, 0)
+    # LB = M_rank R^{-1}  (solve on the right; identity-extended R)
+    LB = jax.scipy.linalg.solve_triangular(Utri.T, M_rank.T, lower=True).T
+    LB = jnp.where(live[None, :], LB, 0)
+    aug = jnp.concatenate([T, rhs[:, None]], axis=1)
+    TBaug = jnp.concatenate(
+        [jnp.where(~live[None, :], Mp, 0), m_rhs[:, None]], axis=1) - LB @ aug
+    free = (~live) & (~f.fixed_mask[f.perm])
+    TB = jnp.where(free[None, :], TBaug[:, :n], 0)
+    D = TB.T @ TB
+    D = jnp.where(free[:, None] & free[None, :], D, jnp.eye(n, dtype=dtype))
+    x_free = jnp.linalg.solve(D, TB.T @ TBaug[:, n] * free) * free
+    x_rank = jax.scipy.linalg.solve_triangular(
+        Utri, rhs - T @ x_free, lower=False) * live
+    x = jnp.zeros(n, dtype).at[f.perm].set(x_rank + x_free)
     return jnp.where(f.fixed_mask, f.fixed_val, x)
 
 

@@ -249,11 +249,29 @@ def factorize(
 
         ranks[obj] = col_index - first_col[obj]
 
+        # ---- variable (conditioning-driven) regularization factor
+        # (reference ``lexlse.h:277-312``, Chiaverini damping formula)
+        factor_eff = float(reg[obj])
+        if params.variable_regularization_factor != 0.0:
+            factor_eff = 0.0
+            rk = ranks[obj]
+            if rk > 0:
+                fcol = first_col[obj]
+                rhs_seg = lod[frow : frow + rk, n_var].copy()
+                ce = float(rhs_seg @ rhs_seg)
+                y = _solve_triu_left(lod[frow : frow + rk, fcol : fcol + rk], rhs_seg)
+                denom = float(y @ y)
+                if denom > 0.0:
+                    ce /= denom
+                eps = params.variable_regularization_factor
+                if ce < eps:
+                    factor_eff = np.sqrt(1.0 - (ce * ce) / (eps * eps)) * float(reg[obj])
+
         # ---- regularization of this level's RHS segment (before Gauss)
-        if reg[obj] != 0.0 and params.regularization_type != RegularizationType.NONE:
+        if factor_eff != 0.0 and params.regularization_type != RegularizationType.NONE:
             _apply_regularization(
                 params, lod, null_space, n_var, n_fixed, frow, first_col[obj],
-                ranks[obj], remaining_columns, float(reg[obj]),
+                ranks[obj], remaining_columns, factor_eff,
             )
         if params.regularization_type in (
             RegularizationType.TIKHONOV,

@@ -209,3 +209,25 @@ def test_regularization_parity(regtype):
     atol = 1e-6 if regtype in (RegularizationType.TIKHONOV_CG,
                                RegularizationType.RT_NO_Z_CG) else 1e-8
     np.testing.assert_allclose(r["x"], xo, atol=atol)
+
+
+@pytest.mark.parametrize("eps", [0.5, 5.0])
+def test_variable_regularization_parity(eps):
+    """Conditioning-driven damping (``lexlse.h:277-312``): the effective
+    factor depends on the level's conditioning estimate; JAX == oracle."""
+    rng = np.random.default_rng(33)
+    n = 8
+    A, b, dims, _, _ = gen.random_equality_hierarchy(rng, n, (3, 3), (2, 2))
+    mu = np.array([0.3, 0.4])
+    params = ParametersLexLSE(
+        regularization_type=RegularizationType.TIKHONOV,
+        variable_regularization_factor=eps)
+    fo = oe.factorize(A, b, dims, params, regularization=mu)
+    r = run_jax(A, b, dims, params=params, reg=mu)
+    xo = oe.solve_basic(fo)
+    np.testing.assert_allclose(r["x"], xo, atol=1e-8)
+    # with a huge epsilon the damping engages fully; result must differ
+    # from the unregularized solve (sanity that the path is active)
+    r0 = run_jax(A, b, dims, params=ParametersLexLSE(), reg=None)
+    if eps > 1.0:
+        assert np.abs(r["x"] - r0["x"]).max() > 1e-10
