@@ -174,22 +174,28 @@ def factorize(
             stopped = stopped | jnp.logical_not(ok)
 
             # --- predicated column swap (full column: T-blocks of earlier
-            # levels must follow the permutation, ``lexlse.h:225``)
-            ca = lod[:, :n].take(col_index, axis=1)
+            # levels must follow the permutation, ``lexlse.h:225``).
+            # Only the two affected columns are written — a whole-array
+            # select here would copy the full LOD every pivot step, which
+            # dominates HBM traffic on TPU.
+            # clamp: when col_index == n (columns exhausted, accept False)
+            # an unclamped write would land on the RHS column of lod
+            ci_safe = jnp.minimum(col_index, n - 1)
+            ca = lod[:, :n].take(ci_safe, axis=1)
             cb = lod[:, :n].take(piv, axis=1)
-            lodn = lod.at[:, col_index].set(cb).at[:, piv].set(ca)
-            lod = jnp.where(accept, lodn, lod)
+            lod = lod.at[:, ci_safe].set(jnp.where(accept, cb, ca))
+            lod = lod.at[:, piv].set(jnp.where(accept, ca, cb))
             na, nb = col_norms[col_index], col_norms[piv]
-            col_norms = jnp.where(
-                accept, col_norms.at[col_index].set(nb).at[piv].set(na), col_norms
-            )
+            col_norms = col_norms.at[col_index].set(jnp.where(accept, nb, na))
+            col_norms = col_norms.at[piv].set(jnp.where(accept, na, nb))
             pa, pb = perm[col_index], perm[piv]
-            perm = jnp.where(accept, perm.at[col_index].set(pb).at[piv].set(pa), perm)
+            perm = perm.at[col_index].set(jnp.where(accept, pb, pa))
+            perm = perm.at[piv].set(jnp.where(accept, pa, pb))
             if regularize:
-                za = null_space[:, :n].take(col_index, axis=1)
+                za = null_space[:, :n].take(ci_safe, axis=1)
                 zb = null_space[:, :n].take(piv, axis=1)
-                nsn = null_space.at[:, col_index].set(zb).at[:, piv].set(za)
-                null_space = jnp.where(accept, nsn, null_space)
+                null_space = null_space.at[:, ci_safe].set(jnp.where(accept, zb, za))
+                null_space = null_space.at[:, piv].set(jnp.where(accept, za, zb))
 
             # --- Householder reflection of the remaining rows, applied to
             # the remaining columns and the RHS (``lexlse.h:239-248``)
@@ -312,6 +318,209 @@ def factorize(
         first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
         total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
         null_space=null_space, dims=tuple(dims), n_var=n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fast factorization (virtual column permutation)
+# ---------------------------------------------------------------------------
+
+
+def factorize_fast(
+    A: jax.Array,
+    b: jax.Array,
+    dims: Tuple[int, ...],
+    params: ParametersLexLSE = ParametersLexLSE(),
+    fixed_mask: Optional[jax.Array] = None,
+    fixed_val: Optional[jax.Array] = None,
+) -> LexQR:
+    """l-QR with a *virtual* column permutation — the TPU hot path.
+
+    Mathematically identical to :func:`factorize` (same pivot order, same
+    reflections — parity-tested), but columns are never physically moved:
+    the permutation lives in two index vectors (``pos``: physical column →
+    position, ``col_at``: position → physical column) and every
+    position-range mask is evaluated through ``pos``.  This removes the
+    per-pivot-step dynamic-index column scatters that dominate HBM
+    traffic / lowering cost under ``vmap`` on TPU; the physical layout
+    expected by the solves is materialized by one gather at the end.
+
+    Pivot tie-breaking matches the position-ordered scan of the reference
+    (``lexlse.h:205-211``): among equal column norms the smallest
+    *position* wins (realized as argmin of position over the argmax set).
+
+    Regularization is not supported here (the active-set hot loop runs
+    unregularized); :func:`factorize` remains the general path.
+    """
+    if params.regularization_type != RegularizationType.NONE:
+        raise ValueError("factorize_fast does not support regularization")
+    m, n = A.shape
+    dtype = A.dtype
+    n_obj = len(dims)
+    offsets, total_rows = _level_offsets(dims)
+    assert total_rows == m, (dims, m)
+    tol = jnp.asarray(params.tol_linear_dependence, dtype)
+
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros((n,), bool)
+        fixed_val = jnp.zeros((n,), dtype)
+    fixed_val = jnp.where(fixed_mask, fixed_val, jnp.zeros((), dtype))
+
+    A_work = jnp.where(fixed_mask[None, :], jnp.zeros((), dtype), A)
+    rhs = b - A @ fixed_val
+    lod = jnp.concatenate([A_work, rhs[:, None]], axis=1)
+
+    hh = jnp.zeros((m,), dtype)
+    pos = jnp.arange(n, dtype=jnp.int32)      # physical col -> position
+    col_at = jnp.arange(n, dtype=jnp.int32)   # position -> physical col
+    rank_row = jnp.zeros((n,), jnp.int32)
+    phys = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    ranks = []
+    first_cols = []
+    col_index = jnp.zeros((), jnp.int32)
+
+    for obj in range(n_obj):
+        fr, dim = offsets[obj], dims[obj]
+        first_col = col_index
+        first_cols.append(first_col)
+        if dim == 0:
+            ranks.append(jnp.zeros((), jnp.int32))
+            continue
+        K = min(dim, n)
+
+        block0 = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
+        col_norms = jnp.sum(block0[:, :n] * block0[:, :n], axis=0)
+        rows = jnp.arange(dim)
+
+        def pivot_step(counter, carry, fr=fr, dim=dim, rows=rows):
+            (lod, col_norms, pos, col_at, rank_row, hh, col_index, stopped) = carry
+            row_index = fr + counter
+            block = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
+
+            # --- pivot: max column norm among remaining positions; ties
+            # resolve to the smallest position (reference scan order)
+            remaining = pos >= col_index
+            masked = jnp.where(remaining, col_norms, -jnp.ones((), dtype))
+            mx = jnp.max(masked)
+            cand = remaining & (masked == mx)
+            piv = jnp.argmin(jnp.where(cand, pos, big)).astype(jnp.int32)
+
+            # stability recomputation (``lexlse.h:208-211``)
+            one_piv = (phys == piv).astype(dtype)
+            colv = block[:, :n] @ one_piv  # (dim,)
+            row_live = rows >= counter
+            max_val = jnp.sum(jnp.where(row_live, colv * colv, 0))
+            col_norms = jnp.where(phys == piv, max_val, col_norms)
+
+            ok = max_val >= tol
+            accept = ok & jnp.logical_not(stopped) & (col_index < n)
+            stopped = stopped | jnp.logical_not(ok)
+
+            # --- virtual swap: positions of (col at col_index) and piv
+            c1 = col_at[jnp.minimum(col_index, n - 1)]
+            q2 = pos[piv]
+            do = accept
+            pos = jnp.where(do & (phys == c1), q2,
+                            jnp.where(do & (phys == piv), col_index, pos))
+            qpos = jnp.arange(n, dtype=jnp.int32)
+            col_at = jnp.where(do & (qpos == col_index), piv,
+                               jnp.where(do & (qpos == q2), c1, col_at))
+
+            # --- Householder reflection of the remaining rows
+            seg = jnp.where(row_live, colv, 0)
+            c0 = seg[counter]
+            s_tail = jnp.sum(jnp.where(rows > counter, seg * seg, 0))
+            nonzero_tail = s_tail > 0
+            beta = jnp.sqrt(c0 * c0 + s_tail)
+            beta = jnp.where(c0 >= 0, -beta, beta)
+            beta = jnp.where(nonzero_tail, beta, c0)
+            denom = jnp.where(nonzero_tail, c0 - beta, jnp.ones((), dtype))
+            tau = jnp.where(nonzero_tail, (beta - c0) / beta, 0)
+            essential = seg / denom
+            u = jnp.where(rows == counter, jnp.ones((), dtype),
+                          jnp.where(rows > counter, essential, 0))
+
+            w = u @ block  # (n+1,)
+            # trailing columns: position > col_index, plus the RHS column
+            colmask = jnp.concatenate(
+                [pos > col_index, jnp.ones((1,), bool)])
+            upd = tau * jnp.where(accept, 1.0, 0.0)
+            new_block = block - upd * jnp.outer(u, jnp.where(colmask, w, 0))
+            # pivot column: beta at the diagonal, essentials below
+            newcol = jnp.where(rows == counter, beta,
+                               jnp.where(rows > counter, essential, colv))
+            newcol = jnp.where(accept, newcol, colv)
+            one_piv_p1 = jnp.concatenate([one_piv, jnp.zeros((1,), dtype)])
+            new_block = (new_block * (1.0 - one_piv_p1)[None, :]
+                         + jnp.outer(newcol, one_piv_p1))
+            lod = lax.dynamic_update_slice_in_dim(lod, new_block, fr, axis=0)
+
+            hh = hh.at[row_index].set(jnp.where(accept, tau, hh[row_index]))
+            rank_row = jnp.where(
+                accept & (qpos == col_index), row_index, rank_row)
+
+            # --- downdate of column norms
+            pivot_row = new_block[counter, :n]
+            dd = jnp.where(pos > col_index, pivot_row * pivot_row, 0)
+            col_norms = jnp.where(accept, col_norms - dd, col_norms)
+
+            col_index = col_index + accept.astype(jnp.int32)
+            return (lod, col_norms, pos, col_at, rank_row, hh, col_index, stopped)
+
+        carry = (lod, col_norms, pos, col_at, rank_row, hh, col_index,
+                 jnp.zeros((), bool))
+        (lod, _, pos, col_at, rank_row, hh, col_index, _) = lax.fori_loop(
+            0, dim, pivot_step, carry)
+
+        rank = col_index - first_col
+        ranks.append(rank)
+
+        # --- Gauss elimination of all lower-priority rows, in virtual
+        # layout (``lexlse.h:431-471``): gather R by position, solve on
+        # the right, subtract L @ [T | rhs], write L back by position.
+        if obj < n_obj - 1:
+            below_fr = fr + dim
+            cols_k = col_at.take(
+                jnp.minimum(first_col + jnp.arange(K, dtype=jnp.int32), n - 1))
+            Rpad = lod[fr : fr + K, :n].take(cols_k, axis=1)
+            i_idx = jnp.arange(K)[:, None]
+            j_idx = jnp.arange(K)[None, :]
+            in_rank = (i_idx < rank) & (j_idx < rank) & (j_idx >= i_idx)
+            Rm = jnp.where(in_rank, Rpad,
+                           jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
+            Bpad = lod[below_fr:, :n].take(cols_k, axis=1)
+            L = jax.scipy.linalg.solve_triangular(Rm.T, Bpad.T, lower=True).T
+            Lm = jnp.where(jnp.arange(K)[None, :] < rank, L, 0)
+            Up = lod[fr : fr + K, :]
+            Up = jnp.where(jnp.arange(K)[:, None] < rank, Up, 0)
+            posmask_p1 = jnp.concatenate([pos >= col_index, jnp.ones((1,), bool)])
+            Up = jnp.where(posmask_p1[None, :], Up, 0)
+            below = lod[below_fr:, :]
+            new_below = below - Lm @ Up
+            # write L into the physical columns at positions [first_col,
+            # col_index)
+            rel = jnp.clip(pos - first_col, 0, K - 1)
+            L_full = Lm.take(rel, axis=1)
+            store = jnp.concatenate(
+                [(pos >= first_col) & (pos < col_index), jnp.zeros((1,), bool)])
+            L_full = jnp.concatenate(
+                [L_full, jnp.zeros((L_full.shape[0], 1), dtype)], axis=1)
+            new_below = jnp.where(store[None, :], L_full, new_below)
+            lod = lod.at[below_fr:, :].set(new_below)
+
+    # --- physicalize: position q holds column col_at[q]
+    lod_phys = jnp.concatenate(
+        [lod[:, :n].take(col_at, axis=1), lod[:, n:]], axis=1)
+
+    return LexQR(
+        lod=lod_phys, hh=hh, perm=col_at, rank_row=rank_row,
+        ranks=jnp.stack(ranks) if ranks else jnp.zeros((0,), jnp.int32),
+        first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
+        total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
+        null_space=jnp.zeros((n, n + 1), dtype),
+        dims=tuple(dims), n_var=n,
     )
 
 

@@ -49,8 +49,10 @@ from . import lexlse
 from .types import (
     CtrType,
     InequalityHierarchy,
+    LexLSError,
     OperationType,
     ParametersLexLSI,
+    RegularizationType,
     TerminationStatus,
 )
 
@@ -172,7 +174,8 @@ class Structure:
         "cyc_counter", "cyc_prev_op", "cyc_prev_row", "cyc_prev_type",
         "log_obj", "log_ctr", "log_type", "log_value", "log_rank",
         "log_cycling", "log_len",
-        "f",
+        "trace_x", "trace_v", "trace_dx", "trace_dv", "trace_alpha",
+        "trace_op", "trace_row",
     ],
     meta_fields=[],
 )
@@ -205,7 +208,13 @@ class LexLSIState:
     log_rank: jax.Array
     log_cycling: jax.Array   # (cap,) bool
     log_len: jax.Array
-    f: lexlse.LexQR          # factorization at the current working set
+    trace_x: jax.Array       # (tcap, n) per-iteration snapshots (tcap=0 when off)
+    trace_v: jax.Array       # (tcap, m)
+    trace_dx: jax.Array      # (tcap, n)
+    trace_dv: jax.Array      # (tcap, m)
+    trace_alpha: jax.Array   # (tcap,)
+    trace_op: jax.Array      # (tcap,) OperationType
+    trace_row: jax.Array     # (tcap,) constraint row added/removed (-1)
 
 
 def _dummy_lexqr(struct: Structure, dtype) -> lexlse.LexQR:
@@ -259,9 +268,16 @@ def _masked_general(A, lb, ub, ctr_type, struct: Structure):
 def _factorize(A, lb, ub, ctr_type, struct: Structure, params: ParametersLexLSI,
                reg: Optional[jax.Array]) -> lexlse.LexQR:
     Ag, bg, fixed_mask, fixed_val = _masked_general(A, lb, ub, ctr_type, struct)
+    lexlse_params = params.lexlse_parameters()
+    if params.regularization_type == RegularizationType.NONE:
+        # hot path: virtual-permutation factorization (no reg support)
+        return lexlse.factorize_fast(
+            Ag, bg, struct.lexlse_dims, lexlse_params,
+            fixed_mask=fixed_mask, fixed_val=fixed_val,
+        )
     reg_g = None if reg is None else (reg[1:] if struct.simple_bounds else reg)
     return lexlse.factorize(
-        Ag, bg, struct.lexlse_dims, params.lexlse_parameters(),
+        Ag, bg, struct.lexlse_dims, lexlse_params,
         fixed_mask=fixed_mask, fixed_val=fixed_val, reg_factors=reg_g,
     )
 
@@ -478,7 +494,6 @@ def _initial_state(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
         else:
             v = v0
         dx = jnp.zeros((n,), dtype)
-        f = _dummy_lexqr(struct, dtype)
     else:
         if x_guess_specified:
             x = x0
@@ -496,19 +511,18 @@ def _initial_state(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
             v = _initialize_v0(ctr_type, Ax, lb, ub, params)
         else:
             v = v0
-        if x_guess_specified:
-            f = _factorize(A, lb, ub, ctr_type, struct, params, reg)
-            x_star = lexlse.solve(f)
-            dx = x_star - x
-        else:
-            # re-factorization at the same working set would reproduce f0
-            f = f0
-            dx = jnp.zeros((n,), dtype)
+        # NOTE: dx of iteration 0 is recomputed by the loop body itself
+        # (the body factorizes unconditionally; at iteration 0 the working
+        # set is unchanged since phase 1, so the recomputation reproduces
+        # the phase-1 step exactly — the reference reuses phase 1's
+        # factorization, ``lexlsi.h:1160-1170``)
+        dx = jnp.zeros((n,), dtype)
         n_fact = n_fact + 1
 
     Adx, dv = _form_step(A, lb, ub, ctr_type, Ax, v, dx)
 
     cap = params.max_number_of_factorizations + 2
+    tcap = cap if params.trace_enabled else 0
     return LexLSIState(
         x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx,
         ctr_type=ctr_type, stamp=stamp, next_stamp=next_stamp, lb=lb, ub=ub,
@@ -524,31 +538,37 @@ def _initial_state(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
         log_type=jnp.zeros((cap,), jnp.int32), log_value=jnp.zeros((cap,), dtype),
         log_rank=jnp.zeros((cap,), jnp.int32), log_cycling=jnp.zeros((cap,), bool),
         log_len=jnp.zeros((), jnp.int32),
-        f=f,
+        trace_x=jnp.zeros((tcap, n), dtype), trace_v=jnp.zeros((tcap, m), dtype),
+        trace_dx=jnp.zeros((tcap, n), dtype), trace_dv=jnp.zeros((tcap, m), dtype),
+        trace_alpha=jnp.zeros((tcap,), dtype),
+        trace_op=jnp.zeros((tcap,), jnp.int32),
+        trace_row=jnp.full((tcap,), -1, jnp.int32),
     )
 
 
 def _verify_working_set(s: LexLSIState, A, struct: Structure,
                         params: ParametersLexLSI, reg) -> LexLSIState:
-    """One active-set iteration (``lexlsi.h:1144-1265``)."""
+    """One active-set iteration (``lexlsi.h:1144-1265``).
+
+    The factorization runs unconditionally: at iteration 0 the working
+    set is unchanged since phase 1, so this reproduces phase 1's step
+    (which the reference reuses) — and under ``vmap`` a conditional
+    would execute both branches anyway.  Only the factorization counter
+    is gated (the reference counts one factorization for phase 1)."""
     dtype = A.dtype
     need_fact = s.it > 0
-
-    f = lax.cond(
-        need_fact,
-        lambda: _factorize(A, s.lb, s.ub, s.ctr_type, struct, params, reg),
-        lambda: s.f,
-    )
-    x_star = lexlse.solve(f)
-    dx = jnp.where(need_fact, x_star - s.x, s.dx)
-    Adx_new, dv_new = _form_step(A, s.lb, s.ub, s.ctr_type, s.Ax, s.v, dx)
-    Adx = jnp.where(need_fact, Adx_new, s.Adx)
-    dv = jnp.where(need_fact, dv_new, s.dv)
-    n_fact = s.n_fact + need_fact.astype(jnp.int32)
-
     normal_iteration = jnp.logical_not(
         (s.it == 0) & jnp.asarray(params.use_phase1_v0)
     )
+
+    f = _factorize(A, s.lb, s.ub, s.ctr_type, struct, params, reg)
+    x_star = lexlse.solve(f)
+    # with use_phase1_v0, iteration 0 keeps phase 1's dx = 0 / dv = -v
+    dx = jnp.where(normal_iteration, x_star - s.x, s.dx)
+    Adx_new, dv_new = _form_step(A, s.lb, s.ub, s.ctr_type, s.Ax, s.v, dx)
+    Adx = jnp.where(normal_iteration, Adx_new, s.Adx)
+    dv = jnp.where(normal_iteration, dv_new, s.dv)
+    n_fact = s.n_fact + need_fact.astype(jnp.int32)
 
     alpha, brow, btype = _check_blocking(
         s.ctr_type, s.Ax, Adx, s.v, dv, s.lb, s.ub,
@@ -612,6 +632,22 @@ def _verify_working_set(s: LexLSIState, A, struct: Structure,
     v = jnp.where(take, s.v + alpha * dv, s.v)
     Ax = jnp.where(take, s.Ax + alpha * Adx, s.Ax)
 
+    # --- per-iteration trace (≙ ``outputStuff``, ``lexlsi.h:1272-1379``)
+    trace = (s.trace_x, s.trace_v, s.trace_dx, s.trace_dv, s.trace_alpha,
+             s.trace_op, s.trace_row)
+    if params.trace_enabled:
+        ti = jnp.minimum(s.it, s.trace_x.shape[0] - 1)
+        op_code = jnp.where(blocking, int(OperationType.ADD),
+                            jnp.where(do_remove, int(OperationType.REMOVE),
+                                      int(OperationType.UNDEFINED)))
+        row_code = jnp.where(blocking, brow, jnp.where(do_remove, rrow, -1))
+        trace = (
+            s.trace_x.at[ti].set(x), s.trace_v.at[ti].set(v),
+            s.trace_dx.at[ti].set(dx), s.trace_dv.at[ti].set(dv),
+            s.trace_alpha.at[ti].set(alpha),
+            s.trace_op.at[ti].set(op_code), s.trace_row.at[ti].set(row_code),
+        )
+
     # --- cycling handling (``cycling.h:32-65``)
     lb, ub = s.lb, s.ub
     cyc_counter = s.cyc_counter
@@ -657,7 +693,8 @@ def _verify_working_set(s: LexLSIState, A, struct: Structure,
         cyc_prev_row=cyc_prev_row, cyc_prev_type=cyc_prev_type,
         log_obj=log_obj, log_ctr=log_ctr, log_type=log_type, log_value=log_value,
         log_rank=log_rank, log_cycling=log_cycling, log_len=log_len,
-        f=f,
+        trace_x=trace[0], trace_v=trace[1], trace_dx=trace[2], trace_dv=trace[3],
+        trace_alpha=trace[4], trace_op=trace[5], trace_row=trace[6],
     )
 
 
@@ -771,6 +808,24 @@ class LexLSIResult:
     lb: np.ndarray
     ub: np.ndarray
     state: LexLSIState
+
+    def trace(self) -> dict:
+        """Per-iteration solver trace (requires
+        ``ParametersLexLSI(trace_enabled=True)``): dict of arrays trimmed
+        to the realized iteration count — x, v, dx, dv, alpha, op
+        (OperationType code), row (constraint added/removed, -1 none).
+        TPU-native counterpart of the reference's per-iteration MATLAB
+        dump (``outputStuff``, ``lexlsi.h:1272-1379``)."""
+        s = self.state
+        if s.trace_x.shape[0] == 0:
+            raise LexLSError("trace_enabled was not set in ParametersLexLSI")
+        k = min(self.n_iterations, s.trace_x.shape[0])
+        return {
+            "x": np.asarray(s.trace_x[:k]), "v": np.asarray(s.trace_v[:k]),
+            "dx": np.asarray(s.trace_dx[:k]), "dv": np.asarray(s.trace_dv[:k]),
+            "alpha": np.asarray(s.trace_alpha[:k]),
+            "op": np.asarray(s.trace_op[:k]), "row": np.asarray(s.trace_row[:k]),
+        }
 
 
 def solve(

@@ -112,12 +112,6 @@ def make_sharded_solver(
 def _state_structure(struct: Structure, params: ParametersLexLSI):
     """A pytree with the same structure as LexLSIState (values unused —
     only the treedef matters for building out_specs)."""
-    from ..lexlsi import _dummy_lexqr
-    import dataclasses as _dc
-
-    dummy_f = _dummy_lexqr(struct, jnp.float32)  # only the treedef is used
-    cap = params.max_number_of_factorizations + 2
-    z = lambda *s: 0  # noqa: E731 — placeholder leaf
     return LexLSIState(
         x=0, v=0, dx=0, dv=0, Ax=0, Adx=0,
         ctr_type=0, stamp=0, next_stamp=0, lb=0, ub=0,
@@ -125,15 +119,6 @@ def _state_structure(struct: Structure, params: ParametersLexLSI):
         cyc_counter=0, cyc_prev_op=0, cyc_prev_row=0, cyc_prev_type=0,
         log_obj=0, log_ctr=0, log_type=0, log_value=0, log_rank=0,
         log_cycling=0, log_len=0,
-        f=dataclasses_replace_all_zero(dummy_f),
-    )
-
-
-def dataclasses_replace_all_zero(f):
-    import dataclasses
-
-    return dataclasses.replace(
-        f, **{k: 0 for k in (
-            "lod", "hh", "perm", "rank_row", "ranks", "first_col",
-            "total_rank", "fixed_mask", "fixed_val", "null_space")}
+        trace_x=0, trace_v=0, trace_dx=0, trace_dv=0, trace_alpha=0,
+        trace_op=0, trace_row=0,
     )

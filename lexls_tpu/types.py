@@ -129,6 +129,12 @@ class ParametersLexLSI:
 
     deactivate_first_wrong_sign: bool = False
 
+    # Per-iteration solver trace (TPU-native counterpart of the
+    # reference's ``output_file_name`` + ``outputStuff`` MATLAB dump,
+    # ``lexlsi.h:1272-1379``): records {x, v, dx, dv, alpha, operation,
+    # constraint row} each iteration in fixed-capacity device buffers.
+    trace_enabled: bool = False
+
     def lexlse_parameters(self) -> ParametersLexLSE:
         """Forward the shared subset, mirrors reference ``lexlsi.h:325-342``."""
         return ParametersLexLSE(

@@ -231,3 +231,37 @@ def test_variable_regularization_parity(eps):
     r0 = run_jax(A, b, dims, params=ParametersLexLSE(), reg=None)
     if eps > 1.0:
         assert np.abs(r["x"] - r0["x"]).max() > 1e-10
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_factorize_fast_equivalence(seed):
+    """factorize_fast (virtual permutation) must reproduce factorize
+    (physical swaps) exactly: same permutation, ranks, staircase, and
+    downstream solutions/multipliers."""
+    with_fixed = seed % 2 == 1
+    A, b, dims, fi, fv = make_problem(seed, with_fixed=with_fixed)
+    n = A.shape[1]
+    fm = np.zeros(n, bool); fvv = np.zeros(n)
+    if fi is not None:
+        fm[fi] = True; fvv[fi] = fv
+
+    @jax.jit
+    def both(A, b, fm, fv):
+        f1 = jl.factorize(A, b, tuple(dims), ParametersLexLSE(),
+                          fixed_mask=fm, fixed_val=fv)
+        f2 = jl.factorize_fast(A, b, tuple(dims), ParametersLexLSE(),
+                               fixed_mask=fm, fixed_val=fv)
+        return f1, f2
+
+    f1, f2 = both(jnp.asarray(A), jnp.asarray(b), jnp.asarray(fm), jnp.asarray(fvv))
+    np.testing.assert_array_equal(np.asarray(f1.perm), np.asarray(f2.perm))
+    np.testing.assert_array_equal(np.asarray(f1.ranks), np.asarray(f2.ranks))
+    np.testing.assert_array_equal(np.asarray(f1.rank_row), np.asarray(f2.rank_row))
+    assert int(f1.total_rank) == int(f2.total_rank)
+    np.testing.assert_allclose(np.asarray(f1.lod), np.asarray(f2.lod),
+                               atol=1e-13, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(f1.hh), np.asarray(f2.hh), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(jl.solve(f1)), np.asarray(jl.solve(f2)),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jl.residual(f1)),
+                               np.asarray(jl.residual(f2)), atol=1e-12)

@@ -164,3 +164,58 @@ def test_kkt_optimality():
     rhs = np.where(jres.ctr_type == int(T.CtrType.ACTIVE_LB), prob.lb, prob.ub)
     act = jres.ctr_type != int(T.CtrType.INACTIVE)
     np.testing.assert_allclose((Ax - rhs)[act], jres.v[act], atol=1e-8)
+
+
+def test_iteration_trace():
+    """Per-iteration trace: alpha/op/row recorded; x trajectory ends at
+    the solution; v snapshots match x snapshots' violations on active rows."""
+    rng = np.random.default_rng(23)
+    prob = gen.random_inequality_hierarchy(rng, 8, [4, 3, 3])
+    params = T.ParametersLexLSI(trace_enabled=True)
+    jres = jli.solve(prob, params)
+    tr = jres.trace()
+    k = jres.n_iterations
+    assert tr["x"].shape == (k, prob.n_var)
+    np.testing.assert_allclose(tr["x"][-1], jres.x, atol=1e-12)
+    np.testing.assert_allclose(tr["v"][-1], jres.v, atol=1e-12)
+    assert np.all((tr["alpha"] >= 0) & (tr["alpha"] <= 1))
+    # ADD operations carry the activated row
+    adds = tr["op"] == int(T.OperationType.ADD)
+    assert np.all(tr["row"][adds] >= 0)
+    assert jres.n_activations == int(adds.sum())
+
+    # disabled trace raises
+    jres2 = jli.solve(prob, T.ParametersLexLSI())
+    import pytest as _pytest
+    with _pytest.raises(T.LexLSError):
+        jres2.trace()
+
+
+def test_analytic_lambda_escande_chain():
+    """The Escande chain (reference ``lambda_test.m:7-15``): hierarchy
+    (x_1=1) > (2 x_2=1) > ... > (n x_n=1) > (sum x_i = 1) has closed-form
+    multipliers: lambda[:, n] = [-w, -w/2, ..., -w/n, w], w = sum 1/k for
+    k=2..n; all other columns zero."""
+    n = 5
+    w = float(np.sum(1.0 / np.arange(2, n + 1)))
+    objectives = []
+    for k in range(n):
+        a = np.zeros((1, n))
+        a[0, k] = k + 1
+        objectives.append((a, np.ones(1), np.ones(1)))
+    objectives.append((np.ones((1, n)), np.ones(1), np.ones(1)))
+    prob = T.build_general_hierarchy(objectives)
+
+    jres = jli.solve(prob)
+    assert jres.status == T.TerminationStatus.PROBLEM_SOLVED
+    lam = jli.solve_lambda(prob, jres)
+
+    expected = np.zeros((n + 1, n + 1))
+    expected[n, n] = w
+    for k in range(n):
+        expected[k, n] = -w / (k + 1)
+    np.testing.assert_allclose(lam, expected, atol=1e-9)
+
+    # the oracle agrees
+    ores, olam = oli.solve_with_lambda(prob)
+    np.testing.assert_allclose(olam, expected, atol=1e-9)
