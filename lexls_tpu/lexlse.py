@@ -698,30 +698,48 @@ def solve_general_norm(f: LexQR, M: jax.Array, m_rhs: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _apply_hh_seq(f: LexQR, obj: int, seg: jax.Array) -> jax.Array:
-    """Apply Q_obj = H_0 ... H_{K-1} to ``seg`` (reflections with tau = 0
-    are no-ops, which masks steps beyond the discovered rank).  Mirrors
-    Eigen's ``householderSequence(...).applyOnTheLeft`` (``lexlse.h:550``).
+def _level_wy(f: LexQR, obj: int) -> Tuple[jax.Array, jax.Array]:
+    """Compact WY factors of level ``obj``'s Householder sequence.
+
+    Q_obj = H_0 ... H_{K-1} = I - W V^T with V the unit-lower-trapezoid of
+    reflection vectors and W = V T, where T^{-1} = diag(1/tau) +
+    striu(V^T V) (Puglisi's compact-WY identity).  Dead reflections
+    (tau = 0, beyond the discovered rank) get a zero V column and a unit
+    T^{-1} diagonal, i.e. contribute the identity.
+
+    This replaces the reference's sequential reflection replay
+    (``applyOnTheLeft(householderSequence(...))``, ``lexlse.h:550``) with
+    two matvecs per application — MXU work instead of a K-step loop.
     """
     offsets, _ = _level_offsets(f.dims)
     fr, dim = offsets[obj], f.dims[obj]
     K = min(dim, f.n_var)
+    dtype = f.lod.dtype
     fcol = f.first_col[obj]
-    # clipped gather (reflections beyond the rank have tau = 0 -> no-ops)
     cols = jnp.minimum(fcol + jnp.arange(K, dtype=jnp.int32), f.n_var)
-    V = f.lod[fr : fr + dim, :].take(cols, axis=1)
-    h = f.hh[fr : fr + dim]
-    rows = jnp.arange(dim)
+    M = f.lod[fr : fr + dim, :].take(cols, axis=1)
+    rloc = jnp.arange(dim)[:, None]
+    jj = jnp.arange(K)[None, :]
+    tau = lax.dynamic_slice_in_dim(f.hh, fr, dim)[:K]
+    live = tau != 0
+    V = jnp.where(rloc > jj, M, jnp.where(rloc == jj, 1.0, 0.0).astype(dtype))
+    V = V * live[None, :].astype(dtype)
+    S = V.T @ V
+    Tinv = jnp.triu(S, 1) + jnp.diag(
+        jnp.where(live, 1.0 / jnp.where(live, tau, 1.0), 1.0))
+    # W = V T  (solve on the right against the upper-triangular T^{-1})
+    W = jax.scipy.linalg.solve_triangular(Tinv.T, V.T, lower=True).T
+    return V, W
 
-    def body(i, seg):
-        j = K - 1 - i
-        tau = h[j]
-        col = jnp.take(V, j, axis=1)
-        u = jnp.where(rows == j, jnp.ones((), seg.dtype),
-                      jnp.where(rows > j, col, 0))
-        return seg - tau * u * (u @ seg)
 
-    return lax.fori_loop(0, K, body, seg)
+def _apply_hh_seq(f: LexQR, obj: int, seg: jax.Array,
+                  wy: Optional[Tuple[jax.Array, jax.Array]] = None) -> jax.Array:
+    """Apply Q_obj = H_0 ... H_{K-1} to ``seg`` via the compact WY form
+    (reflections with tau = 0 are identity, masking steps beyond the
+    discovered rank).  ``wy`` passes precomputed factors when one level's
+    Q is applied repeatedly (the λ sweep)."""
+    V, W = wy if wy is not None else _level_wy(f, obj)
+    return seg - W @ (V.T @ seg)
 
 
 def residual(f: LexQR) -> jax.Array:
@@ -740,7 +758,8 @@ def residual(f: LexQR) -> jax.Array:
 
 
 def objective_sensitivity(
-    f: LexQR, obj_index: int, A_fixed_cols: Optional[jax.Array] = None
+    f: LexQR, obj_index: int, A_fixed_cols: Optional[jax.Array] = None,
+    wy_factors: Optional[list] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Lagrange multipliers of objective ``obj_index`` (static int).
 
@@ -765,7 +784,8 @@ def objective_sensitivity(
     rows = jnp.arange(dim)
     rhs_seg = lax.dynamic_slice_in_dim(f.lod[:, n], fr, dim)
     seg = jnp.where(rows >= f.ranks[obj_index], -rhs_seg, 0)
-    seg = _apply_hh_seq(f, obj_index, seg)
+    wy = (lambda k: wy_factors[k]) if wy_factors is not None else (lambda k: None)
+    seg = _apply_hh_seq(f, obj_index, seg, wy=wy(obj_index))
     lam = lax.dynamic_update_slice_in_dim(lam, seg, fr, axis=0)
 
     if obj_index > 0:
@@ -780,7 +800,7 @@ def objective_sensitivity(
             rhs_slice = rhs.take(cols)
             segk = jnp.zeros((dimk,), dtype).at[:K].set(rhs_slice)
             segk = jnp.where(rowsk < f.ranks[k], segk, 0)
-            segk = _apply_hh_seq(f, k, segk)
+            segk = _apply_hh_seq(f, k, segk, wy=wy(k))
             lam = lax.dynamic_update_slice_in_dim(lam, segk, frk, axis=0)
             blockk = lax.dynamic_slice_in_dim(f.lod, frk, dimk, axis=0)[:, :n]
             contrib = blockk.T @ segk

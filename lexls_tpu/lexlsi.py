@@ -351,8 +351,13 @@ def _lambda_sweep(f: lexlse.LexQR, A_masked_gen, ctr_type, stamp,
     sel_row = jnp.full((), -1, jnp.int32)
     sel_val = jnp.zeros((), dtype)
 
+    # compact-WY factors of every level's Householder sequence, shared by
+    # all objective sweeps (each level's Q is applied up to p times)
+    wy_factors = [lexlse._level_wy(f, k) for k in range(n_obj_g)]
+
     for j in range(n_obj_g):
-        lam_fixed, lam = lexlse.objective_sensitivity(f, j, A_fixed_cols=A_masked_gen)
+        lam_fixed, lam = lexlse.objective_sensitivity(
+            f, j, A_fixed_cols=A_masked_gen, wy_factors=wy_factors)
         vals = jnp.zeros((m,), dtype)
         if struct.simple_bounds:
             vals = vals.at[:d0].set(lam_fixed[jnp.asarray(struct.var_idx_np)])
@@ -709,28 +714,34 @@ def solve_core(
 ) -> LexLSIState:
     """Jitted whole-solver: phase 1 + the active-set ``while_loop``
     (``lexlsi.h:205-246``).  All shapes static; ``vmap`` over the array
-    arguments gives batched solving."""
-    s = _initial_state(
-        A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
-        struct, params, reg, x_guess_specified, v0_specified)
+    arguments gives batched solving.
 
-    max_fact = params.max_number_of_factorizations
+    Matmul precision is pinned to float32: on TPU the default lowers f32
+    dots to bfloat16 MXU passes, whose ~8-bit mantissa destroys the
+    Householder factorization's rank decisions and the active-set
+    convergence."""
+    with jax.default_matmul_precision("float32"):
+        s = _initial_state(
+            A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
+            struct, params, reg, x_guess_specified, v0_specified)
 
-    def cond(s: LexLSIState):
-        return (s.status == int(TerminationStatus.UNKNOWN)) & (
-            (s.it == 0) | (s.n_fact < max_fact)
+        max_fact = params.max_number_of_factorizations
+
+        def cond(s: LexLSIState):
+            return (s.status == int(TerminationStatus.UNKNOWN)) & (
+                (s.it == 0) | (s.n_fact < max_fact)
+            )
+
+        def body(s: LexLSIState):
+            return _verify_working_set(s, A, struct, params, reg)
+
+        s = lax.while_loop(cond, body, s)
+        status = jnp.where(
+            s.status == int(TerminationStatus.UNKNOWN),
+            int(TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED),
+            s.status,
         )
-
-    def body(s: LexLSIState):
-        return _verify_working_set(s, A, struct, params, reg)
-
-    s = lax.while_loop(cond, body, s)
-    status = jnp.where(
-        s.status == int(TerminationStatus.UNKNOWN),
-        int(TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED),
-        s.status,
-    )
-    return dataclasses.replace(s, status=status)
+        return dataclasses.replace(s, status=status)
 
 
 # ---------------------------------------------------------------------------
@@ -743,6 +754,15 @@ def get_lambda(A, lb, ub, ctr_type, reg, struct: Structure,
                params: ParametersLexLSI) -> jax.Array:
     """λ matrix (m, n_obj) in user constraint order (``lexlsi.h:552-605``);
     column k holds the multipliers of objective k."""
+    return _get_lambda_impl(A, lb, ub, ctr_type, reg, struct, params)
+
+
+def _get_lambda_impl(A, lb, ub, ctr_type, reg, struct, params):
+    with jax.default_matmul_precision("float32"):
+        return _get_lambda_body(A, lb, ub, ctr_type, reg, struct, params)
+
+
+def _get_lambda_body(A, lb, ub, ctr_type, reg, struct, params):
     f = _factorize(A, lb, ub, ctr_type, struct, params, reg)
     active = _is_active(ctr_type)
     Ag = A[struct.d0 :] * active[struct.d0 :, None]
