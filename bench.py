@@ -1,25 +1,29 @@
 """Throughput benchmark: warm-started lexicographic hierarchy solves/s.
 
 North-star config (BASELINE.json): 100-variable, 4-level inequality
-hierarchies, warm-started IK-sequence style — a batch of B independent
-instances, each warm-started from the previous (perturbed) solve.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+hierarchies, warm-started IK-sequence style.  Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Methodology
-  * one cold solve with a large iteration budget (the cold active set of
-    this problem family has ~100 active constraints and needs ~200
-    active-set iterations) — excluded from timing;
-  * timed phase: R repetitions of {perturb A by 1e-3, warm solve from
-    the previous {x, active set}}; each rep is blocked on before the
-    clock stops; median rep time is used;
-  * warm solves run with a small iteration budget (warm iterations are
-    1-3 at this perturbation size; a straggler in the batch costs every
-    instance, so the budget caps the batch tail).
+Methodology (hardened against remote-TPU async/tunnel artifacts):
+  * The timed workload is the on-device sequence driver
+    (`lexls_tpu.sequence.solve_sequence_batched`): B independent
+    sequences of T problems; step 0 solves cold, steps 1..T-1 warm-start
+    from the previous step's {x, active set} on a drifting A (1e-3) —
+    one XLA program per sequence length.
+  * The timed function returns only device-reduced scalars, fetched
+    with np.asarray — a tiny, T-independent transfer that forces
+    completion (`block_until_ready` is not reliable through the
+    remote-TPU tunnel, and fetching full outputs would make transfer
+    time scale with T).
+  * Per-warm-solve cost is the least-squares slope of median runtime
+    over several sequence lengths — constant overhead (dispatch, arg
+    upload, fetch, cold solve) cancels in the slope.
 
 Baseline: 1e5 warm-started solves/s per chip (the reference publishes
 no numbers; this is the driver's north star).
 """
 
+import functools
 import json
 import os
 import statistics
@@ -42,8 +46,7 @@ BASELINE_SOLVES_PER_S = 1.0e5
 def main():
     import lexls_tpu.lexlsi as jli
     from lexls_tpu.oracle import generate as gen
-    from lexls_tpu.parallel import batched_initial_arrays, solve_batched
-    from lexls_tpu.sequence import _device_initial_activation
+    from lexls_tpu.sequence import solve_sequence_batched
     from lexls_tpu.types import ParametersLexLSI
 
     dev = jax.devices()[0]
@@ -51,69 +54,76 @@ def main():
     dtype = jnp.float32
 
     n_var, dims = 100, (30, 30, 30, 30)
-    B = int(os.environ.get("LEXLS_BENCH_B", 512 if on_tpu else 16))
-    reps = int(os.environ.get("LEXLS_BENCH_REPS", 7 if on_tpu else 2))
+    B = int(os.environ.get("LEXLS_BENCH_B", 512 if on_tpu else 8))
+    Ts = (2, 6, 10) if on_tpu else (2, 4)
+    reps = int(os.environ.get("LEXLS_BENCH_REPS", 5 if on_tpu else 1))
 
-    tols = dict(tol_linear_dependence=1e-7, tol_wrong_sign_lambda=1e-4,
-                tol_correct_sign_lambda=1e-6, tol_feasibility=1e-5)
-    params_cold = ParametersLexLSI(max_number_of_factorizations=250, **tols)
-    params_warm = ParametersLexLSI(max_number_of_factorizations=8, **tols)
+    params = ParametersLexLSI(
+        max_number_of_factorizations=250,
+        tol_linear_dependence=1e-7,
+        tol_wrong_sign_lambda=1e-4,
+        tol_correct_sign_lambda=1e-6,
+        tol_feasibility=1e-5,
+    )
 
     rng = np.random.default_rng(0)
     prob = gen.random_inequality_hierarchy(
         rng, n_var, list(dims), equality_fraction=0.1, tight_fraction=0.3)
     struct = jli.Structure.of(prob)
     m = prob.n_ctr
+    T_max = max(Ts)
 
-    As = jnp.asarray(
-        np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
-                  for _ in range(B)]), dtype)
-    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, m))
-    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, m))
+    base = np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
+                     for _ in range(B)])
+    drift = rng.standard_normal((T_max, prob.A.shape[0], prob.A.shape[1]))
+    A_seq = jnp.asarray(
+        base[:, None] + 1e-3 * np.cumsum(drift, axis=0)[None], dtype)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, T_max, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, T_max, m))
     reg = jnp.asarray(prob.regularization, dtype)
 
-    # ---- cold solve (excluded from timing)
-    c0, s0, n0, x0, v0 = batched_initial_arrays(prob, B, dtype)
+    @functools.partial(jax.jit, static_argnames=("T",))
+    def run_summary(A_seq, lbs, ubs, reg, T):
+        xs, vs, statuses, its, nfs, cts = solve_sequence_batched(
+            A_seq[:, :T], lbs[:, :T], ubs[:, :T], reg,
+            struct=struct, params=params)
+        return (
+            jnp.sum(xs[:, -1]),                                  # forces xs
+            jnp.sum(statuses == 0).astype(jnp.int32),            # solved count
+            jnp.sum(its[:, 1:]).astype(jnp.int32),               # warm iters
+            jnp.max(its[:, 1:], initial=0).astype(jnp.int32),    # worst warm
+            jnp.sum(its[:, 0]).astype(jnp.int32),                # cold iters
+        )
+
+    def fetch(out):
+        return tuple(np.asarray(o) for o in out)
+
+    # compile all lengths (excluded from timing)
     t0 = time.perf_counter()
-    cold = solve_batched(As, lbs, ubs, c0, s0, n0, x0, v0, reg,
-                         struct=struct, params=params_cold)
-    jax.block_until_ready(cold.x)
-    cold_s = time.perf_counter() - t0
-    cold_solved = int(jnp.sum(cold.status == 0))
+    for T in Ts:
+        fetch(run_summary(A_seq, lbs, ubs, reg, T=T))
+    compile_s = time.perf_counter() - t0
 
-    # ---- warm step: restart from previous {x, active set} on perturbed A
-    act_init = jax.jit(jax.vmap(
-        lambda A, lb, ub, g: _device_initial_activation(A, lb, ub, g, struct)))
+    med = {}
+    summaries = {}
+    for T in Ts:
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fetch(run_summary(A_seq, lbs, ubs, reg, T=T))
+            ts.append(time.perf_counter() - t0)
+        med[T] = statistics.median(ts)
+        summaries[T] = out
 
-    def warm(As_t, x_prev, ct_prev):
-        c, s, ns = act_init(As_t, lbs, ubs, ct_prev)
-        return solve_batched(As_t, lbs, ubs, c, s, ns, x_prev, v0, reg,
-                             struct=struct, params=params_warm,
-                             x_guess_specified=True)
+    # least-squares slope of runtime vs number of warm solves
+    xs_ = np.array([T - 1 for T in Ts], dtype=float)
+    ys_ = np.array([med[T] for T in Ts])
+    slope = float(np.polyfit(xs_, ys_, 1)[0])
+    rate = B / max(slope, 1e-9)
 
-    dAs = [jnp.asarray(
-        np.stack([1e-3 * rng.standard_normal(prob.A.shape) for _ in range(B)]),
-        dtype) for _ in range(reps + 1)]
-
-    # compile warm path (excluded from timing)
-    st = warm(As + dAs[0], cold.x, cold.ctr_type)
-    jax.block_until_ready(st.x)
-
-    times = []
-    solved = []
-    iters = []
-    x, ct = st.x, st.ctr_type
-    for r in range(reps):
-        t0 = time.perf_counter()
-        st = warm(As + dAs[r + 1], x, ct)
-        jax.block_until_ready(st.x)
-        times.append(time.perf_counter() - t0)
-        x, ct = st.x, st.ctr_type
-        solved.append(int(jnp.sum(st.status == 0)))
-        iters.append(float(jnp.mean(st.it)))
-
-    dt = statistics.median(times)
-    rate = B / dt
+    _, solved, warm_it_sum, worst_warm, cold_it_sum = summaries[max(Ts)]
+    total = B * max(Ts)
+    warm_count = B * (max(Ts) - 1)
 
     print(json.dumps({
         "metric": "warm_start_solves_per_s",
@@ -121,10 +131,11 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(rate / BASELINE_SOLVES_PER_S, 4),
     }))
-    print(f"# device={dev.platform} B={B} reps={reps} n={n_var} dims={dims} "
-          f"cold={cold_s:.1f}s cold_solved={cold_solved}/{B} "
-          f"warm_solved={solved} warm_iters={[round(i,2) for i in iters]} "
-          f"rep_times={[round(t,4) for t in times]}",
+    print(f"# device={dev.platform} B={B} Ts={Ts} reps={reps} n={n_var} "
+          f"dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
+          f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
+          f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "
+          f"worst_warm_iters={int(worst_warm)} mean_cold_iters={cold_it_sum/B:.1f}",
           file=sys.stderr)
 
 

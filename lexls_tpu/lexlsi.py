@@ -268,6 +268,12 @@ def _masked_general(A, lb, ub, ctr_type, struct: Structure):
 def _factorize(A, lb, ub, ctr_type, struct: Structure, params: ParametersLexLSI,
                reg: Optional[jax.Array]) -> lexlse.LexQR:
     Ag, bg, fixed_mask, fixed_val = _masked_general(A, lb, ub, ctr_type, struct)
+    return _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct, params, reg)
+
+
+def _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct: Structure,
+                      params: ParametersLexLSI,
+                      reg: Optional[jax.Array]) -> lexlse.LexQR:
     lexlse_params = params.lexlse_parameters()
     if params.regularization_type == RegularizationType.NONE:
         # hot path: virtual-permutation factorization (no reg support)
@@ -566,7 +572,10 @@ def _verify_working_set(s: LexLSIState, A, struct: Structure,
         (s.it == 0) & jnp.asarray(params.use_phase1_v0)
     )
 
-    f = _factorize(A, s.lb, s.ub, s.ctr_type, struct, params, reg)
+    # masked subproblem data, shared by the factorization and the λ sweep
+    Ag, bg, fixed_mask, fixed_val = _masked_general(
+        A, s.lb, s.ub, s.ctr_type, struct)
+    f = _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct, params, reg)
     x_star = lexlse.solve(f)
     # with use_phase1_v0, iteration 0 keeps phase 1's dx = 0 / dv = -v
     dx = jnp.where(normal_iteration, x_star - s.x, s.dx)
@@ -582,8 +591,6 @@ def _verify_working_set(s: LexLSIState, A, struct: Structure,
 
     # --- removal sweep (only runs when no blocking constraint was found;
     # under vmap the cond lowers to a select and both branches execute)
-    active_mask = _is_active(s.ctr_type)
-    Ag = A[struct.d0 :] * active_mask[struct.d0 :, None]
     want_sweep = jnp.logical_not(blocking) & normal_iteration
     found_rm, rrow, rval = lax.cond(
         want_sweep,

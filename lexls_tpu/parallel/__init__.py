@@ -10,12 +10,16 @@ embarrassingly parallel).
 
 from .batch import (
     batched_initial_arrays,
+    make_host_mesh,
     make_sharded_solver,
+    make_sharded_solver_2d,
     solve_batched,
 )
 
 __all__ = [
     "batched_initial_arrays",
+    "make_host_mesh",
     "make_sharded_solver",
+    "make_sharded_solver_2d",
     "solve_batched",
 ]

@@ -109,6 +109,60 @@ def make_sharded_solver(
     return jax.jit(sharded)
 
 
+def make_host_mesh(n_hosts: int, chips_per_host: int,
+                   devices: Optional[np.ndarray] = None) -> Mesh:
+    """A 2-axis ("dcn", "ici") mesh for multi-host batch sharding.
+
+    The batch axis is sharded over both axes (hosts outermost), so each
+    chip owns B/(n_hosts*chips_per_host) instances; the solve itself
+    communicates nothing, and the metric reductions ride ICI within a
+    host before crossing DCN (XLA orders the collective accordingly when
+    the axis tuple is ("dcn", "ici")).
+    """
+    if devices is None:
+        devices = np.asarray(jax.devices()[: n_hosts * chips_per_host])
+    return Mesh(devices.reshape(n_hosts, chips_per_host), ("dcn", "ici"))
+
+
+def make_sharded_solver_2d(
+    mesh: Mesh,
+    struct: Structure,
+    params: ParametersLexLSI,
+    x_guess_specified: bool = False,
+    v0_specified: bool = False,
+):
+    """Multi-host variant of :func:`make_sharded_solver`: the batch axis
+    is sharded over both mesh axes (("dcn", "ici") from
+    :func:`make_host_mesh`); metrics reduce over both."""
+    shard_map = jax.shard_map
+    axes = tuple(mesh.axis_names)
+    spec = P(axes)
+
+    def local_solve(A, lb, ub, c0, s0, n0, x0, v0, reg):
+        st = solve_batched(
+            A, lb, ub, c0, s0, n0, x0, v0, reg,
+            struct=struct, params=params,
+            x_guess_specified=x_guess_specified, v0_specified=v0_specified,
+        )
+        solved = jax.lax.psum(jnp.sum(st.status == 0).astype(jnp.int32), axes)
+        max_it = jax.lax.pmax(jnp.max(st.it), axes)
+        sum_it = jax.lax.psum(jnp.sum(st.it).astype(jnp.int32), axes)
+        return st, {"solved": solved, "max_iterations": max_it,
+                    "sum_iterations": sum_it}
+
+    sharded = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(spec,) * 8 + (P(),),
+        out_specs=(
+            jax.tree_util.tree_map(lambda _: spec, _state_structure(struct, params)),
+            {"solved": P(), "max_iterations": P(), "sum_iterations": P()},
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def _state_structure(struct: Structure, params: ParametersLexLSI):
     """A pytree with the same structure as LexLSIState (values unused —
     only the treedef matters for building out_specs)."""

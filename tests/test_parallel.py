@@ -116,3 +116,25 @@ def test_sequence_batched_shapes():
         params=T.ParametersLexLSI())
     assert xs.shape == (B, Tn, base.n_var)
     assert np.all(np.asarray(statuses) == 0)
+
+
+def test_host_mesh_2d_matches_vmap():
+    """2-axis (dcn, ici) mesh: 2 hosts x 4 chips on the virtual devices."""
+    rng = np.random.default_rng(5)
+    B = 8
+    base, As, lbs, ubs = _batch_of_problems(rng, B)
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    c0, s0, n0, x0, v0 = batched_initial_arrays(base, B)
+    reg = jnp.asarray(base.regularization)
+
+    ref = solve_batched(jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+                        c0, s0, n0, x0, v0, reg, struct=struct, params=params)
+
+    from lexls_tpu.parallel import make_host_mesh, make_sharded_solver_2d
+    mesh = make_host_mesh(2, 4)
+    fn = make_sharded_solver_2d(mesh, struct, params)
+    st, metrics = fn(jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+                     c0, s0, n0, x0, v0, reg)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref.x), atol=1e-12)
+    assert int(metrics["solved"]) == int(jnp.sum(ref.status == 0))
