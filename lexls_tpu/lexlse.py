@@ -43,7 +43,8 @@ from .types import ParametersLexLSE, RegularizationType
     jax.tree_util.register_dataclass,
     data_fields=[
         "lod", "hh", "perm", "rank_row", "ranks", "first_col", "total_rank",
-        "fixed_mask", "fixed_val", "null_space",
+        "fixed_mask", "fixed_val", "null_space", "X_mu", "residual_mu",
+        "reg_factors",
     ],
     meta_fields=["dims", "n_var"],
 )
@@ -73,6 +74,11 @@ class LexQR:
     fixed_mask: jax.Array
     fixed_val: jax.Array
     null_space: jax.Array
+    # regularized-multiplier machinery (TIKHONOV_1 only, else 0-sized;
+    # reference ``regularize_tikhonov_1_test`` lexlse.h:1774-1886)
+    X_mu: jax.Array          # (n, p) damped per-level solutions (user order)
+    residual_mu: jax.Array   # (m,) damped residuals
+    reg_factors: jax.Array   # (p,) per-level factors used
     dims: Tuple[int, ...]
     n_var: int
 
@@ -141,6 +147,12 @@ def factorize(
     if reg_factors is None:
         reg_factors = jnp.zeros((n_obj,), dtype)
 
+    # regularized-multiplier tracking (TIKHONOV_1; reference
+    # ``regularize_tikhonov_1_test``, ``lexlse.h:1774-1886``)
+    track_mu = params.regularization_type == RegularizationType.TIKHONOV_1
+    X_mu = jnp.zeros((n, n_obj) if track_mu else (0, 0), dtype)
+    residual_mu = jnp.zeros((m,) if track_mu else (0,), dtype)
+
     for obj in range(n_obj):
         fr, dim = offsets[obj], dims[obj]
         first_col = col_index
@@ -153,6 +165,12 @@ def factorize(
         block = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
         col_norms = jnp.sum(block[:, :n] * block[:, :n], axis=0)
         rows = jnp.arange(dim, dtype=jnp.int32)
+
+        if track_mu:
+            # deflated rhs of this level, before the Householder
+            # transformations (``lexlse.h:188-191``)
+            residual_mu = lax.dynamic_update_slice_in_dim(
+                residual_mu, block[:, n], fr, axis=0)
 
         def pivot_step(counter, carry, fr=fr, dim=dim, rows=rows):
             lod, col_norms, perm, rank_row, hh, null_space, col_index, stopped = carry
@@ -273,10 +291,40 @@ def factorize(
                 factor = jnp.where((rank > 0) & (ce < eps), damp * factor,
                                    jnp.zeros((), dtype))
 
-            lod, null_space = _reg.apply_level_regularization(
-                params, lod, null_space, fr, dim, K, first_col, rank,
-                col_index, factor, n,
-            )
+            if track_mu:
+                do_reg = jnp.logical_and(factor != 0.0, rank > 0)
+                new_lod, y_mu = _reg._tikhonov_full(
+                    lod, null_space, fr, K, first_col, rank, col_index,
+                    factor, n, return_y=True)
+                new_lod = jnp.where(do_reg, new_lod, lod)
+                # damped residual: rw = Q [new_rhs_head; 0], residual_mu
+                # segment := rw - (deflated rhs)  (``lexlse.h:1846-1855``)
+                Vw, Ww = _wy_raw(new_lod, hh, fr, dim, K, first_col, n)
+                rows_d = jnp.arange(dim)
+                rhs_new = lax.dynamic_slice_in_dim(new_lod[:, n], fr, dim)
+                seg_in = jnp.where(rows_d < rank, rhs_new, 0)
+                rw = seg_in - Ww @ (Vw.T @ seg_in)
+                old_seg = lax.dynamic_slice_in_dim(residual_mu, fr, dim)
+                residual_mu = lax.dynamic_update_slice_in_dim(
+                    residual_mu, jnp.where(do_reg, rw - old_seg, old_seg),
+                    fr, axis=0)
+                # damped solution of the obj-th problem, completed through
+                # earlier levels (``get_intermediate_x``, lexlse.h:2010)
+                X_pos = jnp.where(jnp.arange(n) >= first_col, y_mu, 0)
+                X_pos = _intermediate_x(
+                    new_lod, offsets, dims, first_cols, ranks, obj,
+                    first_col, X_pos, n)
+                X_var = jnp.zeros((n,), dtype).at[perm].set(X_pos)
+                X_mu = X_mu.at[:, obj].set(
+                    jnp.where(do_reg, X_var, X_mu[:, obj]))
+                lod = new_lod
+                null_space = _reg._accumulate_nullspace(
+                    lod, null_space, fr, K, first_col, rank, col_index, n)
+            else:
+                lod, null_space = _reg.apply_level_regularization(
+                    params, lod, null_space, fr, dim, K, first_col, rank,
+                    col_index, factor, n,
+                )
 
         # --- Gauss elimination of all lower-priority rows
         # (reference ``lexlse.h:431-471``), padded to static width K.
@@ -317,8 +365,142 @@ def factorize(
         ranks=jnp.stack(ranks) if ranks else jnp.zeros((0,), jnp.int32),
         first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
         total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
-        null_space=null_space, dims=tuple(dims), n_var=n,
+        null_space=null_space, X_mu=X_mu, residual_mu=residual_mu,
+        reg_factors=reg_factors if track_mu else jnp.zeros((0,), dtype),
+        dims=tuple(dims), n_var=n,
     )
+
+
+def _intermediate_x(lod, offsets, dims, first_cols, ranks, obj, fcol_obj,
+                    X_pos, n):
+    """Masked port of ``get_intermediate_x`` (``lexlse.h:2010-2071``):
+    given X_pos holding the current level's damped solution on positions
+    >= fcol_obj, fill the rank positions of earlier levels by
+    back-substitution through the current staircase."""
+    if obj == 0:
+        return X_pos
+    dtype = lod.dtype
+    q = jnp.arange(n)
+    tail_mask = (q >= fcol_obj).astype(dtype)
+    for i in range(obj):
+        fr_i, dim_i = offsets[i], dims[i]
+        K_i = min(dim_i, n)
+        fc_i, r_i = first_cols[i], ranks[i]
+        rows_i = jnp.arange(K_i)
+        rhs_i = lod[fr_i : fr_i + K_i, n]
+        contrib = lod[fr_i : fr_i + K_i, :n] @ (X_pos * tail_mask)
+        vec = jnp.where(rows_i < r_i, rhs_i - contrib, 0)
+        in_lvl = (q >= fc_i) & (q < fc_i + r_i)
+        X_pos = jnp.where(in_lvl, vec.take(jnp.clip(q - fc_i, 0, K_i - 1)),
+                          X_pos)
+    for k in range(obj - 1, -1, -1):
+        fr_k, dim_k = offsets[k], dims[k]
+        K_k = min(dim_k, n)
+        fc_k, r_k = first_cols[k], ranks[k]
+        lo = first_cols[k + 1]  # positions of levels k+1 .. obj-1
+        rows_k = jnp.arange(K_k)
+        mid_mask = ((q >= lo) & (q < fcol_obj)).astype(dtype)
+        coupling = lod[fr_k : fr_k + K_k, :n] @ (X_pos * mid_mask)
+        cols_k = jnp.minimum(fc_k + jnp.arange(K_k, dtype=jnp.int32), n - 1)
+        seg = jnp.where(rows_k < r_k, X_pos.take(cols_k) - coupling, 0)
+        Rpad = lod[fr_k : fr_k + K_k, :n].take(cols_k, axis=1)
+        i_idx = rows_k[:, None]
+        j_idx = rows_k[None, :]
+        in_rank = (i_idx < r_k) & (j_idx < r_k) & (j_idx >= i_idx)
+        Rm = jnp.where(in_rank, Rpad,
+                       jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
+        z = jax.scipy.linalg.solve_triangular(Rm, seg, lower=False)
+        z = jnp.where(rows_k < r_k, z, 0)
+        in_lvl = (q >= fc_k) & (q < fc_k + r_k)
+        X_pos = jnp.where(in_lvl, z.take(jnp.clip(q - fc_k, 0, K_k - 1)),
+                          X_pos)
+    return X_pos
+
+
+def initialize_rhs_regularized(f: LexQR, obj_index: int) -> jax.Array:
+    """Seed of the regularized λ back-propagation (reference
+    ``initialize_rhs``, ``lexlse.h:1920-1959``): forward substitution of
+    -mu^2 X_mu through the transposed staircase.  Returns the full (n,)
+    position-space vector (the caller uses positions < first_col[obj])."""
+    n = f.n_var
+    dtype = f.lod.dtype
+    offsets, _ = _level_offsets(f.dims)
+    q = jnp.arange(n)
+    mu2 = f.reg_factors[obj_index] ** 2
+    X = -mu2 * f.X_mu[f.perm, obj_index]
+    last_col = f.first_col[obj_index] + f.ranks[obj_index]  # exclusive
+    for k in range(obj_index + 1):
+        fr_k, dim_k = offsets[k], f.dims[k]
+        K_k = min(dim_k, n)
+        fc_k, r_k = f.first_col[k], f.ranks[k]
+        rows_k = jnp.arange(K_k)
+        cols_k = jnp.minimum(fc_k + jnp.arange(K_k, dtype=jnp.int32), n - 1)
+        if k > 0:
+            fr_p, dim_p = offsets[k - 1], f.dims[k - 1]
+            K_p = min(dim_p, n)
+            fc_p, r_p = f.first_col[k - 1], f.ranks[k - 1]
+            rows_p = jnp.arange(K_p)
+            cols_p = jnp.minimum(fc_p + jnp.arange(K_p, dtype=jnp.int32), n - 1)
+            xp = jnp.where(rows_p < r_p, X.take(cols_p), 0)
+            contrib = f.lod[fr_p : fr_p + K_p, :n].T @ xp  # (n,)
+            # only positions in [fc_k, last_col) receive the update
+            X = jnp.where((q >= fc_k) & (q < last_col), X - contrib, X)
+        # triangular solve R_k^T on this level's rank positions
+        seg = jnp.where(rows_k < r_k, X.take(cols_k), 0)
+        Rpad = f.lod[fr_k : fr_k + K_k, :n].take(cols_k, axis=1)
+        i_idx = rows_k[:, None]
+        j_idx = rows_k[None, :]
+        in_rank = (i_idx < r_k) & (j_idx < r_k) & (j_idx >= i_idx)
+        Rm = jnp.where(in_rank, Rpad,
+                       jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
+        z = jax.scipy.linalg.solve_triangular(Rm.T, seg, lower=True)
+        z = jnp.where(rows_k < r_k, z, 0)
+        in_lvl = (q >= fc_k) & (q < fc_k + r_k)
+        X = jnp.where(in_lvl, z.take(jnp.clip(q - fc_k, 0, K_k - 1)), X)
+    return X
+
+
+def objective_sensitivity_regularized(
+    f: LexQR, obj_index: int, A_fixed_cols: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Regularized multipliers (TIKHONOV_1): the top segment is the
+    damped residual ``residual_mu`` and the back-propagation is seeded by
+    :func:`initialize_rhs_regularized` (reference ``ObjectiveSensitivity``
+    with ``compute_residual_from_factorization = false``)."""
+    offsets, m = _level_offsets(f.dims)
+    n = f.n_var
+    dtype = f.lod.dtype
+    lam = jnp.zeros((m,), dtype)
+    col_pos = jnp.arange(n)
+    rhs = initialize_rhs_regularized(f, obj_index)
+    rhs = jnp.where(col_pos < f.first_col[obj_index], rhs, 0)
+
+    fr, dim = offsets[obj_index], f.dims[obj_index]
+    seg = lax.dynamic_slice_in_dim(f.residual_mu, fr, dim)
+    lam = lax.dynamic_update_slice_in_dim(lam, seg, fr, axis=0)
+
+    if obj_index > 0:
+        block = lax.dynamic_slice_in_dim(f.lod, fr, dim, axis=0)[:, :n]
+        contrib = block.T @ seg
+        rhs = rhs - jnp.where(col_pos < f.first_col[obj_index], contrib, 0)
+        for k in range(obj_index - 1, -1, -1):
+            frk, dimk = offsets[k], f.dims[k]
+            K = min(dimk, n)
+            rowsk = jnp.arange(dimk)
+            cols = jnp.minimum(f.first_col[k] + jnp.arange(K, dtype=jnp.int32), n - 1)
+            rhs_slice = rhs.take(cols)
+            segk = jnp.zeros((dimk,), dtype).at[:K].set(rhs_slice)
+            segk = jnp.where(rowsk < f.ranks[k], segk, 0)
+            segk = _apply_hh_seq(f, k, segk)
+            lam = lax.dynamic_update_slice_in_dim(lam, segk, frk, axis=0)
+            blockk = lax.dynamic_slice_in_dim(f.lod, frk, dimk, axis=0)[:, :n]
+            contrib = blockk.T @ segk
+            rhs = rhs - jnp.where(col_pos < f.first_col[k], contrib, 0)
+
+    lam_fixed = jnp.zeros((n,), dtype)
+    if A_fixed_cols is not None:
+        lam_fixed = jnp.where(f.fixed_mask, -(A_fixed_cols.T @ lam), 0)
+    return lam_fixed, lam
 
 
 # ---------------------------------------------------------------------------
@@ -520,6 +702,8 @@ def factorize_fast(
         first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
         total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
         null_space=jnp.zeros((n, n + 1), dtype),
+        X_mu=jnp.zeros((0, 0), dtype), residual_mu=jnp.zeros((0,), dtype),
+        reg_factors=jnp.zeros((0,), dtype),
         dims=tuple(dims), n_var=n,
     )
 
@@ -714,13 +898,17 @@ def _level_wy(f: LexQR, obj: int) -> Tuple[jax.Array, jax.Array]:
     offsets, _ = _level_offsets(f.dims)
     fr, dim = offsets[obj], f.dims[obj]
     K = min(dim, f.n_var)
-    dtype = f.lod.dtype
-    fcol = f.first_col[obj]
-    cols = jnp.minimum(fcol + jnp.arange(K, dtype=jnp.int32), f.n_var)
-    M = f.lod[fr : fr + dim, :].take(cols, axis=1)
+    return _wy_raw(f.lod, f.hh, fr, dim, K, f.first_col[obj], f.n_var)
+
+
+def _wy_raw(lod, hh, fr, dim, K, fcol, n):
+    """WY factors from raw factorization storage (usable mid-factorize)."""
+    dtype = lod.dtype
+    cols = jnp.minimum(fcol + jnp.arange(K, dtype=jnp.int32), n)
+    M = lod[fr : fr + dim, :].take(cols, axis=1)
     rloc = jnp.arange(dim)[:, None]
     jj = jnp.arange(K)[None, :]
-    tau = lax.dynamic_slice_in_dim(f.hh, fr, dim)[:K]
+    tau = lax.dynamic_slice_in_dim(hh, fr, dim)[:K]
     live = tau != 0
     V = jnp.where(rloc > jj, M, jnp.where(rloc == jj, 1.0, 0.0).astype(dtype))
     V = V * live[None, :].astype(dtype)

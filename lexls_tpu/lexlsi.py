@@ -217,26 +217,6 @@ class LexLSIState:
     trace_row: jax.Array     # (tcap,) constraint row added/removed (-1)
 
 
-def _dummy_lexqr(struct: Structure, dtype) -> lexlse.LexQR:
-    n = struct.n_var
-    mg = struct.m - struct.d0
-    p = len(struct.lexlse_dims)
-    return lexlse.LexQR(
-        lod=jnp.zeros((mg, n + 1), dtype),
-        hh=jnp.zeros((mg,), dtype),
-        perm=jnp.arange(n, dtype=jnp.int32),
-        rank_row=jnp.zeros((n,), jnp.int32),
-        ranks=jnp.zeros((p,), jnp.int32),
-        first_col=jnp.zeros((p,), jnp.int32),
-        total_rank=jnp.zeros((), jnp.int32),
-        fixed_mask=jnp.zeros((n,), bool),
-        fixed_val=jnp.zeros((n,), dtype),
-        null_space=jnp.zeros((n, n + 1), dtype),
-        dims=struct.lexlse_dims,
-        n_var=n,
-    )
-
-
 # ---------------------------------------------------------------------------
 # Subproblem assembly
 # ---------------------------------------------------------------------------
@@ -360,10 +340,17 @@ def _lambda_sweep(f: lexlse.LexQR, A_masked_gen, ctr_type, stamp,
     # compact-WY factors of every level's Householder sequence, shared by
     # all objective sweeps (each level's Q is applied up to p times)
     wy_factors = [lexlse._level_wy(f, k) for k in range(n_obj_g)]
+    regularized = params.regularization_type == RegularizationType.TIKHONOV_1
 
     for j in range(n_obj_g):
-        lam_fixed, lam = lexlse.objective_sensitivity(
-            f, j, A_fixed_cols=A_masked_gen, wy_factors=wy_factors)
+        if regularized:
+            # damped residual + X_mu-seeded back-propagation (reference
+            # ``ObjectiveSensitivity`` with regularization_type == 7)
+            lam_fixed, lam = lexlse.objective_sensitivity_regularized(
+                f, j, A_fixed_cols=A_masked_gen)
+        else:
+            lam_fixed, lam = lexlse.objective_sensitivity(
+                f, j, A_fixed_cols=A_masked_gen, wy_factors=wy_factors)
         vals = jnp.zeros((m,), dtype)
         if struct.simple_bounds:
             vals = vals.at[:d0].set(lam_fixed[jnp.asarray(struct.var_idx_np)])

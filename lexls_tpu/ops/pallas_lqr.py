@@ -330,5 +330,7 @@ def factorize_fast_batched(
         first_col=jnp.stack(first_cols, axis=1),
         total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
         null_space=jnp.zeros((B, n, n + 1), dtype),
+        X_mu=jnp.zeros((B, 0, 0), dtype), residual_mu=jnp.zeros((B, 0), dtype),
+        reg_factors=jnp.zeros((B, 0), dtype),
         dims=tuple(dims), n_var=n,
     )

@@ -110,6 +110,12 @@ class LexQR:
     fixed_values: np.ndarray  # values of fixed variables (in permuted head order)
     fixed_type: np.ndarray  # CtrType of each fixed variable
     fixed_a: np.ndarray  # original columns of fixed variables, (m, n_fixed)
+    # regularized-multiplier machinery (TIKHONOV_1 only; reference
+    # ``regularize_tikhonov_1_test`` lexlse.h:1774-1886)
+    X_mu: Optional[np.ndarray] = None        # (n_var, n_obj) damped solutions
+    X_mu_rhs: Optional[np.ndarray] = None    # (n_var, n_obj) scratch for initialize_rhs
+    residual_mu: Optional[np.ndarray] = None  # (m,) damped residuals per level
+    reg_factors: Optional[np.ndarray] = None
 
 
 def factorize(
@@ -189,17 +195,33 @@ def factorize(
     col_norms = np.zeros(n_var)
     terminated = False
 
+    # regularized-multiplier machinery (TIKHONOV_1; reference
+    # ``regularize_tikhonov_1_test``): damped per-level solutions X_mu and
+    # damped residuals residual_mu
+    track_mu = params.regularization_type == RegularizationType.TIKHONOV_1
+    X_mu = np.zeros((n_var, n_obj)) if track_mu else None
+    residual_mu = np.zeros(m) if track_mu else None
+
     for obj in range(n_obj):
         frow = first_row[obj]
         first_col[obj] = col_index
         dim = dims[obj]
 
         if terminated:
+            if track_mu and obj > 0:
+                # ``lexlse.h:475-490``: propagate to remaining levels
+                X_mu[:, obj] = X_mu[:, obj - 1]
+                residual_mu[frow : frow + dim] = -lod[frow : frow + dim, n_var]
             # reference ``lexlse.h:475-490``: propagate first_col to the
             # remaining levels, ranks stay 0
             if obj > 0:
                 first_col[obj] = first_col[obj - 1] + ranks[obj - 1]
             continue
+
+        if track_mu:
+            # ``lexlse.h:188-191``: after the elimination steps, before
+            # the Householder transformations
+            residual_mu[frow : frow + dim] = lod[frow : frow + dim, n_var]
 
         col_norms[col_index:] = (lod[frow : frow + dim, col_index:n_var] ** 2).sum(axis=0)
 
@@ -269,10 +291,29 @@ def factorize(
 
         # ---- regularization of this level's RHS segment (before Gauss)
         if factor_eff != 0.0 and params.regularization_type != RegularizationType.NONE:
-            _apply_regularization(
+            y_mu = _apply_regularization(
                 params, lod, null_space, n_var, n_fixed, frow, first_col[obj],
                 ranks[obj], remaining_columns, factor_eff,
             )
+            if track_mu and ranks[obj] > 0:
+                # ``regularize_tikhonov_1_test`` extras: damped residual
+                # and the damped solution of the obj-th problem
+                fcol = first_col[obj]
+                rk = ranks[obj]
+                seg = np.zeros(dim)
+                seg[:rk] = lod[frow : frow + rk, n_var]
+                V = lod[frow : frow + dim, fcol : fcol + rk]
+                rw = apply_householder_seq_left(
+                    V, hh_scalars[frow : frow + dim], seg)
+                residual_mu[frow : frow + dim] = (
+                    rw - residual_mu[frow : frow + dim])
+                # X_mu in position space: damped solution over [fcol, n)
+                X_pos = np.zeros(n_var)
+                X_pos[fcol:] = y_mu
+                _get_intermediate_x(lod, X_pos, first_row, first_col, ranks,
+                                    obj, fcol, n_var)
+                # to variable (user) order
+                X_mu[perm_cols, obj] = X_pos
         if params.regularization_type in (
             RegularizationType.TIKHONOV,
             RegularizationType.TIKHONOV_CG,
@@ -309,7 +350,104 @@ def factorize(
         ranks=ranks, first_row=first_row, first_col=first_col,
         total_rank=total_rank, n_var=n_var, n_fixed=n_fixed,
         fixed_values=fixed_values, fixed_type=ftype, fixed_a=fixed_a,
+        X_mu=X_mu, X_mu_rhs=None if X_mu is None else np.zeros_like(X_mu),
+        residual_mu=residual_mu, reg_factors=reg.copy(),
     )
+
+
+def _get_intermediate_x(lod, X_pos, first_row, first_col, ranks, obj, fcol, n_var):
+    """Complete the damped solution of the obj-th regularized problem
+    (reference ``get_intermediate_x``, ``lexlse.h:2010-2071``): given the
+    tail X_pos[fcol:] (this level's damped solve), back-substitute the
+    earlier levels' rank positions through the current staircase."""
+    if obj == 0:
+        return
+    for i in range(obj):
+        fr_i, fc_i, r_i = first_row[i], first_col[i], ranks[i]
+        X_pos[fc_i : fc_i + r_i] = (
+            lod[fr_i : fr_i + r_i, n_var]
+            - lod[fr_i : fr_i + r_i, fcol:n_var] @ X_pos[fcol:]
+        )
+    acc = 0
+    for k in range(obj - 1, -1, -1):
+        fr_k, fc_k, r_k = first_row[k], first_col[k], ranks[k]
+        if r_k > 0:
+            if acc > 0:
+                fc_next = first_col[k + 1]
+                X_pos[fc_k : fc_k + r_k] -= (
+                    lod[fr_k : fr_k + r_k, fc_next : fc_next + acc]
+                    @ X_pos[fc_next : fc_next + acc]
+                )
+            X_pos[fc_k : fc_k + r_k] = _solve_triu_left(
+                lod[fr_k : fr_k + r_k, fc_k : fc_k + r_k],
+                X_pos[fc_k : fc_k + r_k],
+            )
+            acc += r_k
+
+
+def _initialize_rhs_regularized(f: LexQR, obj_index: int) -> np.ndarray:
+    """Seed of the λ back-propagation in the regularized case
+    (reference ``initialize_rhs``, ``lexlse.h:1920-1959``): forward
+    substitution of -mu^2 X_mu through the transposed staircase."""
+    n = f.n_var
+    mu2 = float(f.reg_factors[obj_index]) ** 2
+    # variable -> position order, scaled
+    X = -mu2 * f.X_mu[f.perm_cols, obj_index]
+    if f.X_mu_rhs is not None:
+        f.X_mu_rhs[:, obj_index] = X  # debug mirror of the MEX output
+    last_col = f.first_col[obj_index] + f.ranks[obj_index] - 1
+    for k in range(obj_index + 1):
+        fr_k, fc_k, r_k = f.first_row[k], f.first_col[k], f.ranks[k]
+        if k > 0:
+            remain = last_col - fc_k + 1
+            fr_p, fc_p, r_p = f.first_row[k - 1], f.first_col[k - 1], f.ranks[k - 1]
+            X[fc_k : fc_k + remain] -= (
+                f.lod[fr_p : fr_p + r_p, fc_k : fc_k + remain].T
+                @ X[fc_p : fc_p + r_p]
+            )
+        if r_k > 0:
+            R = np.triu(f.lod[fr_k : fr_k + r_k, fc_k : fc_k + r_k])
+            X[fc_k : fc_k + r_k] = np.linalg.solve(R.T, X[fc_k : fc_k + r_k])
+    return X
+
+
+def objective_sensitivity_regularized(
+    f: LexQR, obj_index: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lagrange multipliers of objective ``obj_index`` in the
+    TIKHONOV_1-regularized case (reference ``ObjectiveSensitivity`` with
+    ``compute_residual_from_factorization = false``, ``lexlse.h:648-690``):
+    the top segment is the damped residual ``residual_mu`` and the
+    back-propagation rhs is seeded by ``initialize_rhs``."""
+    assert f.residual_mu is not None, "factorize with TIKHONOV_1 first"
+    n_lambda = sum(f.dims[: obj_index + 1])
+    lam = np.zeros(n_lambda)
+    n_rank = sum(f.ranks[:obj_index])
+    rhs = _initialize_rhs_regularized(f, obj_index)[: n_rank + f.n_fixed].copy()
+
+    fr, fc = f.first_row[obj_index], f.first_col[obj_index]
+    dim = f.dims[obj_index]
+    lam[fr : fr + dim] = f.residual_mu[fr : fr + dim]
+
+    if obj_index > 0:
+        col_dim = fc
+        rhs[:col_dim] -= f.lod[fr : fr + dim, :col_dim].T @ lam[fr : fr + dim]
+        for k in range(obj_index - 1, -1, -1):
+            fr, fc = f.first_row[k], f.first_col[k]
+            dim, r = f.dims[k], f.ranks[k]
+            seg = np.zeros(dim)
+            seg[:r] = rhs[fc : fc + r]
+            V = f.lod[fr : fr + dim, fc : fc + r]
+            lam[fr : fr + dim] = apply_householder_seq_left(
+                V, f.hh_scalars[fr : fr + dim], seg
+            )
+            col_dim = fc
+            rhs[:col_dim] -= f.lod[fr : fr + dim, :col_dim].T @ lam[fr : fr + dim]
+
+    lam_fixed = np.zeros(f.n_fixed)
+    if f.n_fixed > 0:
+        lam_fixed = -(f.fixed_a[:n_lambda, :].T @ lam)
+    return lam_fixed, lam
 
 
 def _solve_triu_right(B: np.ndarray, R: np.ndarray) -> np.ndarray:
@@ -358,7 +496,7 @@ def _apply_regularization(
             else:
                 _regularize_tikhonov_1(lod, null_space, n_var, n_fixed, frow, fcol, rank, remaining, factor)
         elif rt == RegularizationType.TIKHONOV_1:
-            _regularize_tikhonov_1(lod, null_space, n_var, n_fixed, frow, fcol, rank, remaining, factor)
+            return _regularize_tikhonov_1(lod, null_space, n_var, n_fixed, frow, fcol, rank, remaining, factor)
         else:
             _regularize_tikhonov_2(lod, null_space, n_var, n_fixed, frow, fcol, rank, remaining, factor)
     elif rt == RegularizationType.TIKHONOV_CG:
@@ -389,6 +527,7 @@ def _regularize_tikhonov_1(lod, null_space, n_var, n_fixed, frow, fcol, rank, re
     d = RT.T @ rhs + mu * (up.T @ null_space[: fcol - n_fixed, n_var])
     d = np.linalg.solve(D, d)
     lod[frow : frow + rank, n_var] = RT @ d
+    return d  # the damped solution over positions [fcol, n_var)
 
 
 def _regularize_tikhonov_2(lod, null_space, n_var, n_fixed, frow, fcol, rank, remaining, factor):

@@ -129,7 +129,8 @@ def _masked_chol_solve(D, d, active_mask):
     return jax.scipy.linalg.cho_solve(c, dm) * active_mask
 
 
-def _tikhonov_full(lod, null_space, fr, K, first_col, rank, col_index, factor, n):
+def _tikhonov_full(lod, null_space, fr, K, first_col, rank, col_index, factor, n,
+                   return_y: bool = False):
     """min ||[R,T] y - rhs||^2 + mu^2 ||S y - s||^2 + mu^2 ||y||^2 over the
     remaining variables y (positions >= first_col), primal normal equations
     (``regularize_tikhonov_1``, ``lexlse.h:1700-1763``; mathematically
@@ -146,7 +147,10 @@ def _tikhonov_full(lod, null_space, fr, K, first_col, rank, col_index, factor, n
     new_rhs = A1 @ y  # (K,)
     rows = jnp.arange(K)
     seg = lod[fr : fr + K, n]
-    return lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+    new_lod = lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+    if return_y:
+        return new_lod, y
+    return new_lod
 
 
 def _reg_R(lod, null_space, fr, K, first_col, rank, factor, n):
