@@ -46,7 +46,7 @@ BASELINE_SOLVES_PER_S = 1.0e5
 def main():
     import lexls_tpu.lexlsi as jli
     from lexls_tpu.oracle import generate as gen
-    from lexls_tpu.sequence import solve_sequence_batched
+    from lexls_tpu.sequence import solve_sequence_batched_native
     from lexls_tpu.types import ParametersLexLSI
 
     dev = jax.devices()[0]
@@ -84,7 +84,7 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("T",))
     def run_summary(A_seq, lbs, ubs, reg, T):
-        xs, vs, statuses, its, nfs, cts = solve_sequence_batched(
+        xs, vs, statuses, its, nfs, cts = solve_sequence_batched_native(
             A_seq[:, :T], lbs[:, :T], ubs[:, :T], reg,
             struct=struct, params=params)
         return (

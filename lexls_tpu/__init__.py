@@ -29,6 +29,7 @@ from .lexlsi import (
     Structure,
     solve,
     solve_core,
+    solve_core_batched,
     solve_lambda,
 )
 
@@ -40,6 +41,7 @@ __all__ = [
     "Structure",
     "solve",
     "solve_core",
+    "solve_core_batched",
     "solve_lambda",
     "CtrType",
     "EqualityHierarchy",

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .ops.tri import solve_triu, solve_triu_right, tri_inv_upper
 from .types import ParametersLexLSE, RegularizationType
 
 # set up dataclass-as-pytree registration
@@ -342,8 +343,8 @@ def factorize(
             Rm = jnp.where(in_rank, Rpad,
                            jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
             Bpad = lod[below_fr:, :].take(cols_k, axis=1)
-            # L = B R^{-1}  (solve on the right)
-            L = jax.scipy.linalg.solve_triangular(Rm.T, Bpad.T, lower=True).T
+            # L = B R^{-1}  (solve on the right; matmul-based inversion)
+            L = solve_triu_right(Bpad, Rm)
             Lm = jnp.where(jnp.arange(K)[None, :] < rank, L, 0)
             # Up rows: this level's pivot rows, masked to the trailing columns
             Up = lod[fr : fr + K, :]
@@ -673,7 +674,7 @@ def factorize_fast(
             Rm = jnp.where(in_rank, Rpad,
                            jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
             Bpad = lod[below_fr:, :n].take(cols_k, axis=1)
-            L = jax.scipy.linalg.solve_triangular(Rm.T, Bpad.T, lower=True).T
+            L = solve_triu_right(Bpad, Rm)
             Lm = jnp.where(jnp.arange(K)[None, :] < rank, L, 0)
             Up = lod[fr : fr + K, :]
             Up = jnp.where(jnp.arange(K)[:, None] < rank, Up, 0)
@@ -727,7 +728,7 @@ def solve(f: LexQR) -> jax.Array:
     live = q < f.total_rank
     Utri = jnp.where(live[:, None], jnp.triu(U[:, :n]), jnp.eye(n, dtype=dtype))
     rhs = jnp.where(live, U[:, n], 0)
-    x_pos = jax.scipy.linalg.solve_triangular(Utri, rhs, lower=False)
+    x_pos = solve_triu(Utri, rhs)
     x = jnp.zeros(n, dtype).at[f.perm].set(x_pos)
     return jnp.where(f.fixed_mask, f.fixed_val, x)
 
@@ -915,8 +916,9 @@ def _wy_raw(lod, hh, fr, dim, K, fcol, n):
     S = V.T @ V
     Tinv = jnp.triu(S, 1) + jnp.diag(
         jnp.where(live, 1.0 / jnp.where(live, tau, 1.0), 1.0))
-    # W = V T  (solve on the right against the upper-triangular T^{-1})
-    W = jax.scipy.linalg.solve_triangular(Tinv.T, V.T, lower=True).T
+    # W = V T  (multiply by the inverted upper-triangular T^{-1};
+    # matmul-based inversion, see lexls_tpu.ops.tri)
+    W = solve_triu_right(V, Tinv)
     return V, W
 
 

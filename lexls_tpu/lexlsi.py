@@ -553,16 +553,24 @@ def _verify_working_set(s: LexLSIState, A, struct: Structure,
     (which the reference reuses) — and under ``vmap`` a conditional
     would execute both branches anyway.  Only the factorization counter
     is gated (the reference counts one factorization for phase 1)."""
+    # masked subproblem data, shared by the factorization and the λ sweep
+    Ag, bg, fixed_mask, fixed_val = _masked_general(
+        A, s.lb, s.ub, s.ctr_type, struct)
+    f = _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct, params, reg)
+    return _verify_with_f(s, A, Ag, f, struct, params)
+
+
+def _verify_with_f(s: LexLSIState, A, Ag, f: lexlse.LexQR,
+                   struct: Structure, params: ParametersLexLSI) -> LexLSIState:
+    """The per-instance remainder of one active-set iteration, given the
+    factorization ``f`` of the current working set (split out so the
+    natively-batched driver can produce ``f`` with the Pallas panels)."""
     dtype = A.dtype
     need_fact = s.it > 0
     normal_iteration = jnp.logical_not(
         (s.it == 0) & jnp.asarray(params.use_phase1_v0)
     )
 
-    # masked subproblem data, shared by the factorization and the λ sweep
-    Ag, bg, fixed_mask, fixed_val = _masked_general(
-        A, s.lb, s.ub, s.ctr_type, struct)
-    f = _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct, params, reg)
     x_star = lexlse.solve(f)
     # with use_phase1_v0, iteration 0 keeps phase 1's dx = 0 / dv = -v
     dx = jnp.where(normal_iteration, x_star - s.x, s.dx)
@@ -728,6 +736,79 @@ def solve_core(
 
         def body(s: LexLSIState):
             return _verify_working_set(s, A, struct, params, reg)
+
+        s = lax.while_loop(cond, body, s)
+        status = jnp.where(
+            s.status == int(TerminationStatus.UNKNOWN),
+            int(TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED),
+            s.status,
+        )
+        return dataclasses.replace(s, status=status)
+
+
+def _instance_alive(s: LexLSIState, max_fact: int):
+    return (s.status == int(TerminationStatus.UNKNOWN)) & (
+        (s.it == 0) | (s.n_fact < max_fact)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
+                     "use_pallas"),
+)
+def solve_core_batched(
+    A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
+    struct: Structure, params: ParametersLexLSI,
+    x_guess_specified: bool, v0_specified: bool, use_pallas: bool = True,
+) -> LexLSIState:
+    """Natively-batched whole-solver (all arrays carry a leading batch
+    axis).  Functionally identical to ``vmap`` of :func:`solve_core`, but
+    the per-iteration factorization runs through the batch-tiled Pallas
+    panel kernels (``lexls_tpu.ops``) instead of a vmapped XLA loop —
+    the level blocks stay in VMEM across the whole pivot loop instead of
+    round-tripping HBM every pivot step.  Converged instances are frozen
+    by predication, exactly like the ``vmap``-of-``while_loop`` batching
+    rule."""
+    max_fact = params.max_number_of_factorizations
+    pallas_ok = (use_pallas
+                 and params.regularization_type == RegularizationType.NONE)
+    interpret = jax.default_backend() != "tpu"
+
+    with jax.default_matmul_precision("float32"):
+        s = jax.vmap(
+            lambda a, l, u, c, st, ns, x, v: _initial_state(
+                a, l, u, c, st, ns, x, v, struct, params, reg,
+                x_guess_specified, v0_specified)
+        )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+
+        def body(s: LexLSIState):
+            Ag, bg, fm, fv = jax.vmap(
+                lambda a, l, u, c: _masked_general(a, l, u, c, struct)
+            )(A, s.lb, s.ub, s.ctr_type)
+            if pallas_ok:
+                from .ops import factorize_fast_batched
+
+                f = factorize_fast_batched(
+                    Ag, bg, struct.lexlse_dims, params.lexlse_parameters(),
+                    fm, fv, use_pallas=True, interpret=interpret)
+            else:
+                f = jax.vmap(
+                    lambda ag, bgi, fmi, fvi: _factorize_masked(
+                        ag, bgi, fmi, fvi, struct, params, reg)
+                )(Ag, bg, fm, fv)
+            s2 = jax.vmap(
+                lambda si, Ai, Agi, fi: _verify_with_f(
+                    si, Ai, Agi, fi, struct, params)
+            )(s, A, Ag, f)
+            alive = _instance_alive(s, max_fact)
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                s2, s)
+
+        def cond(s: LexLSIState):
+            return jnp.any(_instance_alive(s, max_fact))
 
         s = lax.while_loop(cond, body, s)
         status = jnp.where(

@@ -13,7 +13,9 @@ Batch tiling is the vectorization axis: every op works on (TB, dim, n)
 tiles so the VPU's (8, 128) lanes are filled by instances x rows; all
 per-instance divergence (pivot choice, rank, early stop) is realized by
 masks — there is no dynamic-lane indexing anywhere (one-hot contractions
-replace gathers, which is also what makes the math MXU-friendly).
+replace gathers).  Mosaic constraints shape the code: state lives in
+VMEM refs (the ``fori_loop`` carries nothing), per-instance scalars are
+(TB, 1) arrays, and contractions are multiply+reduce (no batch-dim dot).
 
 The same step function runs as the pure-jnp fallback (CPU / interpret
 mode), so the kernel and the reference XLA path are the same code.
@@ -41,20 +43,18 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 # ---------------------------------------------------------------------------
 
 
-def _panel_step(counter, carry, *, fr, dim, n, tol):
+def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
+                     rank_row, hh, *, fr, dim, n, tol):
     """One pivot step on a (TB, dim, n+1) level block (virtual perm).
 
-    Mirrors reference ``lexlse.h:199-268`` / lexlse.factorize_fast, with
-    every per-instance scalar kept as a (TB,) vector and every selection
-    as a one-hot contraction."""
-    (block, col_norms, pos, col_at, col_index, stopped, rank_row, hh) = carry
+    Pure value-level math (mirrors reference ``lexlse.h:199-268`` /
+    lexlse.factorize_fast).  ``ci`` (col_index) and ``stopped`` are
+    (TB, 1) int32; every selection is a one-hot contraction."""
     TB = block.shape[0]
     dtype = block.dtype
     phys = lax.broadcasted_iota(jnp.int32, (TB, n), 1)
     qpos = phys
     rows = lax.broadcasted_iota(jnp.int32, (TB, dim), 1)
-
-    ci = col_index[:, None]  # (TB, 1)
 
     # --- pivot selection: max column norm among remaining positions,
     # ties to the smallest position (one-hot, no argmax)
@@ -66,86 +66,86 @@ def _panel_step(counter, carry, *, fr, dim, n, tol):
     piv_hot = (cand & (pos == qmin)).astype(dtype)  # (TB, n) one-hot
 
     # stability recomputation over the remaining rows (``lexlse.h:208``)
-    colv = jax.lax.dot_general(
-        block[:, :, :n], piv_hot,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dtype,
-    )  # (TB, dim)
+    colv = jnp.sum(block[:, :, :n] * piv_hot[:, None, :], axis=2)  # (TB, dim)
     row_live = rows >= counter
-    max_val = jnp.sum(jnp.where(row_live, colv * colv, 0), axis=1)  # (TB,)
-    col_norms = jnp.where(piv_hot > 0, max_val[:, None], col_norms)
+    max_val = jnp.sum(jnp.where(row_live, colv * colv, 0), axis=1,
+                      keepdims=True)  # (TB, 1)
+    col_norms = jnp.where(piv_hot > 0, max_val, col_norms)
 
     ok = max_val >= tol
-    accept = ok & jnp.logical_not(stopped) & (col_index < n)
-    stopped = stopped | jnp.logical_not(ok)
-    acc = accept[:, None].astype(dtype)
+    accept = ok & (stopped == 0) & (ci < n)  # (TB, 1)
+    stopped = jnp.where(ok, stopped, jnp.ones_like(stopped))
+    acc = accept.astype(dtype)
 
     # --- virtual swap: position of piv <-> position col_index
-    c1 = jnp.sum(jnp.where(qpos == ci, col_at, 0), axis=1).astype(jnp.int32)
-    q2 = qmin[:, 0]                                                 # (TB,)
-    piv_id = jnp.sum(jnp.where(piv_hot > 0, phys, 0), axis=1).astype(jnp.int32)
-    do = accept[:, None]
-    pos = jnp.where(do & (phys == c1[:, None]), q2[:, None],
-                    jnp.where(do & (piv_hot > 0), ci, pos))
-    col_at = jnp.where(do & (qpos == ci), piv_id[:, None],
-                       jnp.where(do & (qpos == q2[:, None]), c1[:, None], col_at))
+    c1 = jnp.sum(jnp.where(qpos == ci, col_at, 0), axis=1,
+                 keepdims=True).astype(jnp.int32)
+    q2 = qmin
+    piv_id = jnp.sum(jnp.where(piv_hot > 0, phys, 0), axis=1,
+                     keepdims=True).astype(jnp.int32)
+    pos = jnp.where(accept & (phys == c1), q2,
+                    jnp.where(accept & (piv_hot > 0), ci, pos))
+    col_at = jnp.where(accept & (qpos == ci), piv_id,
+                       jnp.where(accept & (qpos == q2), c1, col_at))
 
     # --- Householder reflection of the remaining rows
     seg = jnp.where(row_live, colv, 0)
     row_hot = (rows == counter).astype(dtype)
-    c0 = jnp.sum(seg * row_hot, axis=1)                             # (TB,)
-    s_tail = jnp.sum(jnp.where(rows > counter, seg * seg, 0), axis=1)
+    c0 = jnp.sum(seg * row_hot, axis=1, keepdims=True)  # (TB, 1)
+    s_tail = jnp.sum(jnp.where(rows > counter, seg * seg, 0), axis=1,
+                     keepdims=True)
     nonzero_tail = s_tail > 0
     beta = jnp.sqrt(c0 * c0 + s_tail)
     beta = jnp.where(c0 >= 0, -beta, beta)
     beta = jnp.where(nonzero_tail, beta, c0)
     denom = jnp.where(nonzero_tail, c0 - beta, jnp.ones((), dtype))
-    tau = jnp.where(nonzero_tail, (beta - c0) / beta, 0)
-    essential = seg / denom[:, None]
+    tau = jnp.where(nonzero_tail, (beta - c0) / beta, 0)  # (TB, 1)
+    essential = seg / denom
     u = jnp.where(rows == counter, jnp.ones((), dtype),
-                  jnp.where(rows > counter, essential, 0))           # (TB, dim)
+                  jnp.where(rows > counter, essential, 0))  # (TB, dim)
 
-    w = jax.lax.dot_general(
-        u, block, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=dtype,
-    )  # (TB, n+1)
+    w = jnp.sum(u[:, :, None] * block, axis=1)  # (TB, n+1)
+    # float mask (concatenating bool mask registers trips Mosaic)
     trailing = jnp.concatenate(
-        [pos > ci, jnp.ones((TB, 1), bool)], axis=1)                 # (TB, n+1)
-    wmask = jnp.where(trailing, w, 0)
-    block = block - (tau[:, None] * acc)[:, :, None] * u[:, :, None] * wmask[:, None, :]
+        [(pos > ci).astype(dtype), jnp.ones((TB, 1), dtype)], axis=1)
+    wmask = w * trailing
+    block = block - (tau * acc)[:, :, None] * u[:, :, None] * wmask[:, None, :]
 
     # pivot column: beta at the diagonal, essentials below
-    newcol = jnp.where(rows == counter, beta[:, None],
+    newcol = jnp.where(rows == counter, beta,
                        jnp.where(rows > counter, essential, colv))
-    newcol = jnp.where(accept[:, None], newcol, colv)
+    newcol = jnp.where(accept, newcol, colv)
     hot_p1 = jnp.concatenate([piv_hot, jnp.zeros((TB, 1), dtype)], axis=1)
     block = block * (1.0 - hot_p1)[:, None, :] + newcol[:, :, None] * hot_p1[:, None, :]
 
-    hh = jnp.where((rows == counter) & accept[:, None], tau[:, None], hh)
-    rank_row = jnp.where(accept[:, None] & (qpos == ci),
-                         fr + counter, rank_row)
+    hh = jnp.where((rows == counter) & accept, tau, hh)
+    rank_row = jnp.where(accept & (qpos == ci), fr + counter, rank_row)
 
     # --- downdate of column norms
-    pivot_row = jnp.sum(block[:, :, :n] * row_hot[:, :, None], axis=1)  # (TB, n)
+    pivot_row = jnp.sum(block[:, :, :n] * row_hot[:, :, None], axis=1)
     dd = jnp.where(pos > ci, pivot_row * pivot_row, 0)
-    col_norms = jnp.where(accept[:, None], col_norms - dd, col_norms)
+    col_norms = jnp.where(accept, col_norms - dd, col_norms)
 
-    col_index = col_index + accept.astype(jnp.int32)
-    return (block, col_norms, pos, col_at, col_index, stopped, rank_row, hh)
+    ci = ci + accept.astype(jnp.int32)
+    return block, col_norms, pos, col_at, ci, stopped, rank_row, hh
 
 
 def _panel_loop(block, pos, col_at, col_index, rank_row, *, fr, dim, n, tol):
-    """Run the full pivot loop of one level (batched)."""
+    """Run the full pivot loop of one level (batched, value-level XLA)."""
     dtype = block.dtype
     TB = block.shape[0]
     col_norms = jnp.sum(block[:, :, :n] * block[:, :, :n], axis=1)
     hh = jnp.zeros((TB, dim), dtype)
-    stopped = jnp.zeros((TB,), bool)
-    carry = (block, col_norms, pos, col_at, col_index, stopped, rank_row, hh)
-    step = functools.partial(_panel_step, fr=fr, dim=dim, n=n, tol=tol)
+    stopped = jnp.zeros((TB, 1), jnp.int32)
+    ci = col_index[:, None]
+
+    def step(counter, carry):
+        return _panel_step_core(counter, *carry, fr=fr, dim=dim, n=n, tol=tol)
+
+    carry = (block, col_norms, pos, col_at, ci, stopped, rank_row, hh)
     carry = lax.fori_loop(0, dim, step, carry)
-    (block, _, pos, col_at, col_index, _, rank_row, hh) = carry
-    return block, pos, col_at, col_index, rank_row, hh
+    (block, _, pos, col_at, ci, _, rank_row, hh) = carry
+    return block, pos, col_at, ci[:, 0], rank_row, hh
 
 
 # ---------------------------------------------------------------------------
@@ -173,17 +173,35 @@ def panel_factorize(
     tile = min(tile, B)
     assert B % tile == 0, (B, tile)
 
-    def kernel(block_ref, pos_ref, col_at_ref, ci_ref, rr_ref,
-               block_out, pos_out, col_at_out, ci_out, rr_out, hh_out):
-        out = _panel_loop(
-            block_ref[:], pos_ref[:], col_at_ref[:], ci_ref[:, 0], rr_ref[:],
-            fr=fr, dim=dim, n=n, tol=tol)
-        block_out[:] = out[0]
-        pos_out[:] = out[1]
-        col_at_out[:] = out[2]
-        ci_out[:, 0] = out[3]
-        rr_out[:] = out[4]
-        hh_out[:] = out[5]
+    def kernel(block_in, pos_in, col_at_in, ci_in, rr_in,
+               block_o, pos_o, col_at_o, ci_o, rr_o, hh_o,
+               cn_ref, stop_ref):
+        # state lives in the output refs / scratch; the loop carries nothing
+        block_o[:] = block_in[:]
+        pos_o[:] = pos_in[:]
+        col_at_o[:] = col_at_in[:]
+        ci_o[:] = ci_in[:]
+        rr_o[:] = rr_in[:]
+        hh_o[:] = jnp.zeros_like(hh_o)
+        cn_ref[:] = jnp.sum(block_in[:, :, :n] * block_in[:, :, :n], axis=1)
+        stop_ref[:] = jnp.zeros_like(stop_ref)
+
+        def body(counter, _):
+            out = _panel_step_core(
+                counter, block_o[:], cn_ref[:], pos_o[:], col_at_o[:],
+                ci_o[:], stop_ref[:], rr_o[:], hh_o[:],
+                fr=fr, dim=dim, n=n, tol=tol)
+            block_o[:] = out[0]
+            cn_ref[:] = out[1]
+            pos_o[:] = out[2]
+            col_at_o[:] = out[3]
+            ci_o[:] = out[4]
+            stop_ref[:] = out[5]
+            rr_o[:] = out[6]
+            hh_o[:] = out[7]
+            return 0
+
+        lax.fori_loop(0, dim, body, 0)
 
     grid = (B // tile,)
     bspec = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -204,6 +222,10 @@ def panel_factorize(
             jax.ShapeDtypeStruct((B, n), jnp.int32),
             jax.ShapeDtypeStruct((B, dim), block.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, n), block.dtype),   # column norms
+            pltpu.VMEM((tile, 1), jnp.int32),     # stopped flags
+        ],
         interpret=interpret,
     )(block, pos, col_at, col_index[:, None], rank_row)
     block, pos, col_at, ci, rank_row, hh = out
@@ -219,6 +241,8 @@ def _gauss_level(lod, pos, col_at, first_col, col_index, rank,
                  *, fr, dim, K, n):
     """Per-instance Gauss elimination of lower-priority rows (virtual
     layout); identical to the block in lexlse.factorize_fast."""
+    from .tri import solve_triu_right
+
     dtype = lod.dtype
     below_fr = fr + dim
     cols_k = col_at.take(
@@ -230,7 +254,7 @@ def _gauss_level(lod, pos, col_at, first_col, col_index, rank,
     Rm = jnp.where(in_rank, Rpad,
                    jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
     Bpad = lod[below_fr:, :n].take(cols_k, axis=1)
-    L = jax.scipy.linalg.solve_triangular(Rm.T, Bpad.T, lower=True).T
+    L = solve_triu_right(Bpad, Rm)
     Lm = jnp.where(jnp.arange(K)[None, :] < rank, L, 0)
     Up = lod[fr : fr + K, :]
     Up = jnp.where(jnp.arange(K)[:, None] < rank, Up, 0)

@@ -113,3 +113,55 @@ def solve_sequence_batched(
     return jax.vmap(
         lambda a, l, u: solve_sequence(a, l, u, reg, struct=struct, params=params)
     )(A_seq, lb_seq, ub_seq)
+
+
+@functools.partial(jax.jit, static_argnames=("struct", "params", "use_pallas"))
+def solve_sequence_batched_native(
+    A_seq, lb_seq, ub_seq, reg,
+    struct: Structure, params: ParametersLexLSI, use_pallas: bool = True,
+):
+    """Batched warm-started sequences through the natively-batched solver
+    (:func:`lexls_tpu.lexlsi.solve_core_batched`, Pallas panel kernels).
+
+    ``A_seq`` is (B, T, m, n).  Same outputs as
+    :func:`solve_sequence_batched` (each stacked (B, T, ...))."""
+    from .lexlsi import solve_core_batched
+
+    B, T = A_seq.shape[:2]
+    dtype = A_seq.dtype
+    m, n = struct.m, struct.n_var
+
+    act = jax.vmap(
+        lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
+
+    c0, s0, n0 = act(A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0],
+                     jnp.zeros((B, m), jnp.int32))
+    st0 = solve_core_batched(
+        A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
+        jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype), reg,
+        struct=struct, params=params,
+        x_guess_specified=False, v0_specified=False, use_pallas=use_pallas)
+
+    def step(carry, inputs):
+        x_prev, ct_prev = carry
+        A, lb, ub = inputs
+        c, s, ns = act(A, lb, ub, ct_prev)
+        st = solve_core_batched(
+            A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype), reg,
+            struct=struct, params=params,
+            x_guess_specified=True, v0_specified=False, use_pallas=use_pallas)
+        out = (st.x, st.v, st.status, st.it, st.n_fact, st.ctr_type)
+        return (st.x, st.ctr_type), out
+
+    xs_in = (jnp.swapaxes(A_seq[:, 1:], 0, 1),
+             jnp.swapaxes(lb_seq[:, 1:], 0, 1),
+             jnp.swapaxes(ub_seq[:, 1:], 0, 1))
+    (_, _), outs = lax.scan(step, (st0.x, st0.ctr_type), xs_in)
+
+    def cat(a, b):  # b is (T-1, B, ...) -> (B, T, ...)
+        return jnp.concatenate([a[:, None], jnp.swapaxes(b, 0, 1)], axis=1)
+
+    return (
+        cat(st0.x, outs[0]), cat(st0.v, outs[1]), cat(st0.status, outs[2]),
+        cat(st0.it, outs[3]), cat(st0.n_fact, outs[4]), cat(st0.ctr_type, outs[5]),
+    )

@@ -138,3 +138,46 @@ def test_host_mesh_2d_matches_vmap():
                      c0, s0, n0, x0, v0, reg)
     np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref.x), atol=1e-12)
     assert int(metrics["solved"]) == int(jnp.sum(ref.status == 0))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_solve_core_batched_matches_vmap(use_pallas):
+    """Natively-batched solver (Pallas panels) == vmapped solve_core."""
+    rng = np.random.default_rng(9)
+    B = 4
+    base, As, lbs, ubs = _batch_of_problems(rng, B)
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    c0, s0, n0, x0, v0 = batched_initial_arrays(base, B)
+    reg = jnp.asarray(base.regularization)
+    ref = solve_batched(jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+                        c0, s0, n0, x0, v0, reg, struct=struct, params=params)
+    st = jli.solve_core_batched(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        c0, s0, n0, x0, v0, reg, struct=struct, params=params,
+        x_guess_specified=False, v0_specified=False, use_pallas=use_pallas)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref.x), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(st.ctr_type), np.asarray(ref.ctr_type))
+    np.testing.assert_array_equal(np.asarray(st.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(np.asarray(st.it), np.asarray(ref.it))
+
+
+def test_sequence_batched_native_matches_vmap():
+    rng = np.random.default_rng(12)
+    base = gen.random_inequality_hierarchy(rng, 5, [3, 2])
+    struct = jli.Structure.of(base)
+    B, Tn, m = 4, 3, base.n_ctr
+    As = np.stack([np.stack([base.A + 1e-3 * rng.standard_normal(base.A.shape)
+                             for _ in range(Tn)]) for _ in range(B)])
+    lbs = np.broadcast_to(base.lb, (B, Tn, m)).copy()
+    ubs = np.broadcast_to(base.ub, (B, Tn, m)).copy()
+    params = T.ParametersLexLSI()
+    ref = jseq.solve_sequence_batched(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        jnp.asarray(base.regularization), struct=struct, params=params)
+    out = jseq.solve_sequence_batched_native(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        jnp.asarray(base.regularization), struct=struct, params=params)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+    np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(ref[3]))
