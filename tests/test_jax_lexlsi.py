@@ -219,3 +219,29 @@ def test_analytic_lambda_escande_chain():
     # the oracle agrees
     ores, olam = oli.solve_with_lambda(prob)
     np.testing.assert_allclose(olam, expected, atol=1e-9)
+
+
+def test_working_set_log_replay():
+    """Replaying the full working-set log reconstructs the final working
+    set, and solving with it pinned reproduces the solver's x/v
+    (reference wset_get.m / wset_solve.m workflow)."""
+    from lexls_tpu import wset
+
+    rng = np.random.default_rng(29)
+    prob = gen.random_inequality_hierarchy(rng, 8, [4, 3, 3])
+    params = T.ParametersLexLSI(log_working_set_enabled=True)
+    res = jli.solve(prob, params)
+
+    ct = wset.replay_working_set(prob, res.working_set_log)
+    np.testing.assert_array_equal(ct, res.ctr_type)
+
+    x, v = wset.solve_with_working_set(prob, ct, params)
+    np.testing.assert_allclose(x, res.x, atol=1e-9)
+    act = res.ctr_type != 0
+    np.testing.assert_allclose(v[act], res.v[act], atol=1e-8)
+
+    # intermediate replay: working set after half the log entries is a
+    # valid prefix state (types only from logged rows)
+    half = len(res.working_set_log) // 2
+    ct_half = wset.replay_working_set(prob, res.working_set_log, upto=half)
+    assert ct_half.shape == res.ctr_type.shape
