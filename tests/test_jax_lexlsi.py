@@ -245,3 +245,16 @@ def test_working_set_log_replay():
     half = len(res.working_set_log) // 2
     ct_half = wset.replay_working_set(prob, res.working_set_log, upto=half)
     assert ct_half.shape == res.ctr_type.shape
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_deep_hierarchy_with_regularization(seed):
+    """BASELINE config 3: deep (6-level) rank-deficient hierarchy with
+    Tikhonov regularization enabled — parity vs the oracle."""
+    rng = np.random.default_rng(900 + seed)
+    prob = gen.random_inequality_hierarchy(
+        rng, 12, [4, 3, 3, 3, 2, 2], ranks=[3, 2, 2, 1, 1, 1])
+    prob.regularization = np.full(6, 0.05)
+    params = T.ParametersLexLSI(
+        regularization_type=T.RegularizationType.TIKHONOV)
+    _compare(prob, params, tol=1e-7)
