@@ -55,8 +55,11 @@ def main():
 
     n_var, dims = 100, (30, 30, 30, 30)
     B = int(os.environ.get("LEXLS_BENCH_B", 512 if on_tpu else 8))
-    Ts = (2, 6, 10) if on_tpu else (2, 4)
+    Ts = (2, 10) if on_tpu else (2, 4)
     reps = int(os.environ.get("LEXLS_BENCH_REPS", 5 if on_tpu else 1))
+    # native = batched solver (+ Pallas panels unless nopallas); vmap =
+    # per-instance solver under vmap
+    mode = os.environ.get("LEXLS_BENCH_MODE", "native_nopallas")
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -82,11 +85,19 @@ def main():
     ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, T_max, m))
     reg = jnp.asarray(prob.regularization, dtype)
 
+    from lexls_tpu.sequence import solve_sequence_batched
+
     @functools.partial(jax.jit, static_argnames=("T",))
     def run_summary(A_seq, lbs, ubs, reg, T):
-        xs, vs, statuses, its, nfs, cts = solve_sequence_batched_native(
-            A_seq[:, :T], lbs[:, :T], ubs[:, :T], reg,
-            struct=struct, params=params)
+        if mode == "vmap":
+            seq = functools.partial(solve_sequence_batched,
+                                    struct=struct, params=params)
+        else:
+            seq = functools.partial(solve_sequence_batched_native,
+                                    struct=struct, params=params,
+                                    use_pallas=(mode == "native"))
+        xs, vs, statuses, its, nfs, cts = seq(
+            A_seq[:, :T], lbs[:, :T], ubs[:, :T], reg)
         return (
             jnp.sum(xs[:, -1]),                                  # forces xs
             jnp.sum(statuses == 0).astype(jnp.int32),            # solved count
@@ -131,7 +142,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(rate / BASELINE_SOLVES_PER_S, 4),
     }))
-    print(f"# device={dev.platform} B={B} Ts={Ts} reps={reps} n={n_var} "
+    print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} n={n_var} "
           f"dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

@@ -155,7 +155,7 @@ def _panel_loop(block, pos, col_at, col_index, rank_row, *, fr, dim, n, tol):
 
 def panel_factorize(
     block, pos, col_at, col_index, rank_row,
-    *, fr: int, tol: float, tile: int = 8, use_pallas: bool = True,
+    *, fr: int, tol: float, tile: int = 64, use_pallas: bool = True,
     interpret: bool = False,
 ):
     """Level-panel factorization (batched).
@@ -279,7 +279,7 @@ def factorize_fast_batched(
     params: ParametersLexLSE = ParametersLexLSE(),
     fixed_mask: Optional[jax.Array] = None,
     fixed_val: Optional[jax.Array] = None,
-    *, use_pallas: bool = True, tile: int = 8, interpret: bool = False,
+    *, use_pallas: bool = True, tile: int = 64, interpret: bool = False,
 ):
     """Batched l-QR: the level panels run as Pallas kernels, the
     inter-level Gauss elimination and final physicalization as XLA.

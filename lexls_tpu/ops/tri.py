@@ -24,29 +24,29 @@ import jax.numpy as jnp
 
 def tri_inv_upper(R: jax.Array) -> jax.Array:
     """Inverse of an upper-triangular matrix (batched over leading dims)
-    by divide-and-conquer; strictly-lower entries of ``R`` are ignored."""
+    by Newton–Schulz doubling; strictly-lower entries of ``R`` are
+    ignored.
+
+    With X0 = diag(1/r_ii), the residual E0 = I - X0 R is strictly upper
+    triangular (nilpotent of index K); each iteration X <- (I + E) X,
+    E <- E^2 doubles the nilpotency degree, so the inverse is EXACT after
+    ceil(log2(K)) iterations — 2 full-size batched matmuls each, instead
+    of the many tiny operations a divide-and-conquer or substitution
+    scheme produces (TPUs are throughput machines; few big matmuls beat
+    many small ones)."""
+    import math
+
     K = R.shape[-1]
+    Rt = jnp.triu(R)
+    d = jnp.diagonal(Rt, axis1=-2, axis2=-1)
+    X = jnp.eye(K, dtype=R.dtype) * (1.0 / d)[..., :, None]
     if K == 1:
-        return 1.0 / R
-    if K == 2:
-        a = R[..., 0, 0]
-        b = R[..., 0, 1]
-        d = R[..., 1, 1]
-        ia = 1.0 / a
-        id_ = 1.0 / d
-        out = jnp.zeros_like(R)
-        out = out.at[..., 0, 0].set(ia)
-        out = out.at[..., 1, 1].set(id_)
-        out = out.at[..., 0, 1].set(-ia * b * id_)
-        return out
-    K1 = K // 2
-    A11 = tri_inv_upper(R[..., :K1, :K1])
-    A22 = tri_inv_upper(R[..., K1:, K1:])
-    B12 = -A11 @ (R[..., :K1, K1:] @ A22)
-    top = jnp.concatenate([A11, B12], axis=-1)
-    zeros = jnp.zeros(R.shape[:-2] + (K - K1, K1), R.dtype)
-    bot = jnp.concatenate([zeros, A22], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+        return X
+    E = jnp.eye(K, dtype=R.dtype) - X @ Rt
+    for _ in range(math.ceil(math.log2(K))):
+        X = X + E @ X
+        E = E @ E
+    return X
 
 
 def solve_triu(R: jax.Array, b: jax.Array) -> jax.Array:
