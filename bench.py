@@ -5,19 +5,18 @@ hierarchies, warm-started IK-sequence style.  Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology (hardened against remote-TPU async/tunnel artifacts):
-  * The timed workload is the on-device sequence driver
-    (`lexls_tpu.sequence.solve_sequence_batched`): B independent
-    sequences of T problems; step 0 solves cold, steps 1..T-1 warm-start
-    from the previous step's {x, active set} on a drifting A (1e-3) —
-    one XLA program per sequence length.
+  * The timed workload is an on-device `lax.scan` over T problems:
+    step 0 solves cold, steps 1..T-1 warm-start from the previous step's
+    {x, active set} on a drifting A (1e-3 per step).  The problem
+    matrices are generated on device per step (base + drift) so batch
+    size is not limited by a materialized (B, T, m, n) tensor.
   * The timed function returns only device-reduced scalars, fetched
     with np.asarray — a tiny, T-independent transfer that forces
     completion (`block_until_ready` is not reliable through the
-    remote-TPU tunnel, and fetching full outputs would make transfer
-    time scale with T).
-  * Per-warm-solve cost is the least-squares slope of median runtime
-    over several sequence lengths — constant overhead (dispatch, arg
-    upload, fetch, cold solve) cancels in the slope.
+    remote-TPU tunnel).
+  * Per-warm-solve cost is the slope of median runtime over two
+    sequence lengths — constant overhead (dispatch, upload, fetch, the
+    cold solve) cancels in the slope.
 
 Baseline: 1e5 warm-started solves/s per chip (the reference publishes
 no numbers; this is the driver's north star).
@@ -39,6 +38,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
 
 BASELINE_SOLVES_PER_S = 1.0e5
 
@@ -46,7 +46,8 @@ BASELINE_SOLVES_PER_S = 1.0e5
 def main():
     import lexls_tpu.lexlsi as jli
     from lexls_tpu.oracle import generate as gen
-    from lexls_tpu.sequence import solve_sequence_batched_native
+    from lexls_tpu.parallel import solve_batched
+    from lexls_tpu.sequence import _device_initial_activation
     from lexls_tpu.types import ParametersLexLSI
 
     dev = jax.devices()[0]
@@ -54,12 +55,12 @@ def main():
     dtype = jnp.float32
 
     n_var, dims = 100, (30, 30, 30, 30)
-    B = int(os.environ.get("LEXLS_BENCH_B", 512 if on_tpu else 8))
+    B = int(os.environ.get("LEXLS_BENCH_B", 2048 if on_tpu else 8))
     Ts = (2, 10) if on_tpu else (2, 4)
     reps = int(os.environ.get("LEXLS_BENCH_REPS", 5 if on_tpu else 1))
-    # native = batched solver (+ Pallas panels unless nopallas); vmap =
-    # per-instance solver under vmap
-    mode = os.environ.get("LEXLS_BENCH_MODE", "native_nopallas")
+    # native = natively-batched solver (+ Pallas panels); vmap = vmapped
+    # per-instance solver (XLA)
+    mode = os.environ.get("LEXLS_BENCH_MODE", "vmap")
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -76,43 +77,59 @@ def main():
     m = prob.n_ctr
     T_max = max(Ts)
 
-    base = np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
-                     for _ in range(B)])
-    drift = rng.standard_normal((T_max, prob.A.shape[0], prob.A.shape[1]))
-    A_seq = jnp.asarray(
-        base[:, None] + 1e-3 * np.cumsum(drift, axis=0)[None], dtype)
-    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, T_max, m))
-    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, T_max, m))
+    base = jnp.asarray(
+        np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
+                  for _ in range(B)]), dtype)
+    drifts = jnp.asarray(
+        1e-3 * np.cumsum(rng.standard_normal((T_max,) + prob.A.shape), axis=0),
+        dtype)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, m))
     reg = jnp.asarray(prob.regularization, dtype)
+    v0 = jnp.zeros((B, m), dtype)
 
-    from lexls_tpu.sequence import solve_sequence_batched
+    act = jax.vmap(
+        lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
+
+    def solve_b(A, c, s, ns, x, xg):
+        if mode == "native":
+            return jli.solve_core_batched(
+                A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
+                params=params, x_guess_specified=xg, v0_specified=False,
+                use_pallas=True)
+        return solve_batched(
+            A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct, params=params,
+            x_guess_specified=xg)
 
     @functools.partial(jax.jit, static_argnames=("T",))
-    def run_summary(A_seq, lbs, ubs, reg, T):
-        if mode == "vmap":
-            seq = functools.partial(solve_sequence_batched,
-                                    struct=struct, params=params)
-        else:
-            seq = functools.partial(solve_sequence_batched_native,
-                                    struct=struct, params=params,
-                                    use_pallas=(mode == "native"))
-        xs, vs, statuses, its, nfs, cts = seq(
-            A_seq[:, :T], lbs[:, :T], ubs[:, :T], reg)
+    def run_summary(base, drifts, T):
+        A0 = base + drifts[0]
+        c0, s0, n0 = act(A0, lbs, ubs, jnp.zeros((B, m), jnp.int32))
+        st0 = solve_b(A0, c0, s0, n0, jnp.zeros((B, n_var), dtype), False)
+
+        def step(carry, drift_t):
+            x, ct = carry
+            A = base + drift_t
+            c, s, ns = act(A, lbs, ubs, ct)
+            st = solve_b(A, c, s, ns, x, True)
+            return (st.x, st.ctr_type), (st.status, st.it)
+
+        (x, ct), (statuses, its) = lax.scan(
+            step, (st0.x, st0.ctr_type), drifts[1:T])
         return (
-            jnp.sum(xs[:, -1]),                                  # forces xs
-            jnp.sum(statuses == 0).astype(jnp.int32),            # solved count
-            jnp.sum(its[:, 1:]).astype(jnp.int32),               # warm iters
-            jnp.max(its[:, 1:], initial=0).astype(jnp.int32),    # worst warm
-            jnp.sum(its[:, 0]).astype(jnp.int32),                # cold iters
+            jnp.sum(x),
+            (jnp.sum(statuses == 0) + jnp.sum(st0.status == 0)).astype(jnp.int32),
+            jnp.sum(its).astype(jnp.int32),
+            jnp.max(its, initial=0).astype(jnp.int32),
+            jnp.sum(st0.it).astype(jnp.int32),
         )
 
     def fetch(out):
         return tuple(np.asarray(o) for o in out)
 
-    # compile all lengths (excluded from timing)
     t0 = time.perf_counter()
     for T in Ts:
-        fetch(run_summary(A_seq, lbs, ubs, reg, T=T))
+        fetch(run_summary(base, drifts, T=T))
     compile_s = time.perf_counter() - t0
 
     med = {}
@@ -121,12 +138,11 @@ def main():
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fetch(run_summary(A_seq, lbs, ubs, reg, T=T))
+            out = fetch(run_summary(base, drifts, T=T))
             ts.append(time.perf_counter() - t0)
         med[T] = statistics.median(ts)
         summaries[T] = out
 
-    # least-squares slope of runtime vs number of warm solves
     xs_ = np.array([T - 1 for T in Ts], dtype=float)
     ys_ = np.array([med[T] for T in Ts])
     slope = float(np.polyfit(xs_, ys_, 1)[0])
@@ -142,8 +158,8 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(rate / BASELINE_SOLVES_PER_S, 4),
     }))
-    print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} n={n_var} "
-          f"dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
+    print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
+          f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "
           f"worst_warm_iters={int(worst_warm)} mean_cold_iters={cold_it_sum/B:.1f}",

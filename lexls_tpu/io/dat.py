@@ -13,12 +13,11 @@ per row.  Optional ``#SolGuess`` / ``#Solution`` vectors follow.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..types import (
-    CtrType,
     EqualityHierarchy,
     InequalityHierarchy,
     LexLSError,

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ops.tri import solve_triu, solve_triu_right, tri_inv_upper
+from .ops.tri import solve_triu, solve_triu_right
 from .types import ParametersLexLSE, RegularizationType
 
 # set up dataclass-as-pytree registration

@@ -12,12 +12,12 @@ reduction (max iterations / solved count), via ``psum``/``pmax``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..lexlsi import LexLSIState, Structure, initial_activation, solve_core
 from ..types import InequalityHierarchy, ParametersLexLSI

@@ -13,14 +13,12 @@ in one XLA computation without host round-trips.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .lexlsi import LexLSIState, Structure, solve_core
+from .lexlsi import Structure, solve_core
 from .types import CtrType, ParametersLexLSI
 
 

@@ -258,3 +258,24 @@ def test_deep_hierarchy_with_regularization(seed):
     params = T.ParametersLexLSI(
         regularization_type=T.RegularizationType.TIKHONOV)
     _compare(prob, params, tol=1e-7)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, [2]),           # single variable
+    (6, [4]),           # single level
+    (4, [8, 6]),        # more constraints than variables
+    (12, [2, 2]),       # far fewer constraints than variables
+])
+def test_shape_edge_cases(shape):
+    n, dims = shape
+    rng = np.random.default_rng(hash(tuple(dims)) % 2**31)
+    prob = gen.random_inequality_hierarchy(rng, n, dims)
+    _compare(prob)
+
+
+def test_all_equality_level():
+    rng = np.random.default_rng(41)
+    prob = gen.random_inequality_hierarchy(rng, 6, [3, 3], equality_fraction=1.0)
+    jres, ores = _compare(prob)
+    assert np.all(jres.ctr_type[np.abs(prob.lb - prob.ub) < 1e-15]
+                  == int(T.CtrType.ACTIVE_EQ))
