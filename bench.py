@@ -55,7 +55,7 @@ def main():
     dtype = jnp.float32
 
     n_var, dims = 100, (30, 30, 30, 30)
-    B = int(os.environ.get("LEXLS_BENCH_B", 2048 if on_tpu else 8))
+    B = int(os.environ.get("LEXLS_BENCH_B", 384 if on_tpu else 8))
     Ts = (2, 10) if on_tpu else (2, 4)
     reps = int(os.environ.get("LEXLS_BENCH_REPS", 5 if on_tpu else 1))
     # native = natively-batched solver (+ Pallas panels); vmap = vmapped
