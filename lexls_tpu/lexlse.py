@@ -1002,6 +1002,69 @@ def objective_sensitivity(
     return lam_fixed, lam
 
 
+def sensitivities_all(
+    f: LexQR, A_fixed_cols: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """All objectives' multipliers at once: (lam_fixed_all (p, n),
+    lam_all (p, m)), row j = λ of objective j.
+
+    Transposed evaluation of the p back-propagations of
+    :func:`objective_sensitivity`: one global pass per level k
+    (descending) computes objective k's residual segment AND every
+    higher objective's level-k back-substitution segment in a single
+    batched WY application — O(p) level passes of (p, dim)-wide matmuls
+    instead of O(p^2) narrow ones.  Exact same arithmetic per (j, k)
+    pair as the per-objective routine.
+    """
+    offsets, m = _level_offsets(f.dims)
+    n = f.n_var
+    p = len(f.dims)
+    dtype = f.lod.dtype
+    col_pos = jnp.arange(n)
+    j_idx = jnp.arange(p)[:, None]
+
+    lam_all = jnp.zeros((p, m), dtype)
+    rhs_all = jnp.zeros((p, n), dtype)
+
+    for k in range(p - 1, -1, -1):
+        fr, dim = offsets[k], f.dims[k]
+        if dim == 0:
+            continue
+        K = min(dim, n)
+        rows = jnp.arange(dim)
+        V, W = _level_wy(f, k)
+
+        # objective k's own (top) segment: Q_k [0; -rhs_tail]
+        rhs_seg = lax.dynamic_slice_in_dim(f.lod[:, n], fr, dim)
+        seg_top = jnp.where(rows >= f.ranks[k], -rhs_seg, 0)
+
+        # higher objectives' back-prop segments: Q_k [z_j; 0]
+        cols = jnp.minimum(f.first_col[k] + jnp.arange(K, dtype=jnp.int32), n - 1)
+        Z = rhs_all[:, cols]                       # (p, K)
+        segs = jnp.zeros((p, dim), dtype).at[:, :K].set(Z)
+        segs = jnp.where(rows[None, :] < f.ranks[k], segs, 0)
+
+        seg_k = jnp.where(j_idx == k, seg_top[None, :], segs)  # (p, dim)
+        # batched Q_k apply, row form: (Q z)^T = z^T - (z^T V) W^T
+        seg_k = seg_k - (seg_k @ V) @ W.T
+        valid = j_idx >= k
+        seg_k = jnp.where(valid, seg_k, 0)
+
+        lam_all = lax.dynamic_update_slice_in_dim(lam_all, seg_k, fr, axis=1)
+
+        # rhs_j -= (block_k^T seg_k_j) on positions < first_col[k]
+        block = lax.dynamic_slice_in_dim(f.lod, fr, dim, axis=0)[:, :n]
+        contrib = seg_k @ block                                # (p, n)
+        rhs_all = jnp.where(valid & (col_pos[None, :] < f.first_col[k]),
+                            rhs_all - contrib, rhs_all)
+
+    lam_fixed_all = jnp.zeros((p, n), dtype)
+    if A_fixed_cols is not None:
+        lam_fixed_all = jnp.where(f.fixed_mask[None, :],
+                                  -(lam_all @ A_fixed_cols), 0)
+    return lam_fixed_all, lam_all
+
+
 def lambda_matrix(f: LexQR, A_fixed_cols: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """All multipliers: (lam_fixed (n, p), lam (m, p)); column k = λ of
     objective k (cf. the MEX ``debug.lambda`` output)."""

@@ -337,10 +337,14 @@ def _lambda_sweep(f: lexlse.LexQR, A_masked_gen, ctr_type, stamp,
     sel_row = jnp.full((), -1, jnp.int32)
     sel_val = jnp.zeros((), dtype)
 
-    # compact-WY factors of every level's Householder sequence, shared by
-    # all objective sweeps (each level's Q is applied up to p times)
-    wy_factors = [lexlse._level_wy(f, k) for k in range(n_obj_g)]
     regularized = params.regularization_type == RegularizationType.TIKHONOV_1
+    if regularized:
+        lam_fixed_all, lam_all = None, None
+    else:
+        # all objectives' multipliers in one transposed pass (O(p) wide
+        # level operations instead of O(p^2) narrow ones)
+        lam_fixed_all, lam_all = lexlse.sensitivities_all(
+            f, A_fixed_cols=A_masked_gen)
 
     for j in range(n_obj_g):
         if regularized:
@@ -349,8 +353,7 @@ def _lambda_sweep(f: lexlse.LexQR, A_masked_gen, ctr_type, stamp,
             lam_fixed, lam = lexlse.objective_sensitivity_regularized(
                 f, j, A_fixed_cols=A_masked_gen)
         else:
-            lam_fixed, lam = lexlse.objective_sensitivity(
-                f, j, A_fixed_cols=A_masked_gen, wy_factors=wy_factors)
+            lam_fixed, lam = lam_fixed_all[j], lam_all[j]
         vals = jnp.zeros((m,), dtype)
         if struct.simple_bounds:
             vals = vals.at[:d0].set(lam_fixed[jnp.asarray(struct.var_idx_np)])
@@ -838,19 +841,23 @@ def _get_lambda_impl(A, lb, ub, ctr_type, reg, struct, params):
 
 
 def _get_lambda_body(A, lb, ub, ctr_type, reg, struct, params):
+    # NOTE: like the reference's debug λ-matrix overload
+    # (``lexlse.h:770-861``), this uses the factorization residual even
+    # in the regularized case.
     f = _factorize(A, lb, ub, ctr_type, struct, params, reg)
     active = _is_active(ctr_type)
     Ag = A[struct.d0 :] * active[struct.d0 :, None]
     m, d0 = struct.m, struct.d0
+    lam_fixed_all, lam_all = lexlse.sensitivities_all(f, A_fixed_cols=Ag)
     cols = []
     for _ in range(struct.obj_offset):
         cols.append(jnp.zeros((m,), A.dtype))
     for j in range(len(struct.lexlse_dims)):
-        lam_fixed, lam = lexlse.objective_sensitivity(f, j, A_fixed_cols=Ag)
         col = jnp.zeros((m,), A.dtype)
         if struct.simple_bounds:
-            col = col.at[:d0].set(lam_fixed[jnp.asarray(struct.var_idx_np)])
-        col = col.at[d0:].set(lam)
+            col = col.at[:d0].set(
+                lam_fixed_all[j][jnp.asarray(struct.var_idx_np)])
+        col = col.at[d0:].set(lam_all[j])
         cols.append(col)
     return jnp.stack(cols, axis=1)
 
