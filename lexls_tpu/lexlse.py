@@ -723,6 +723,9 @@ def solve(f: LexQR) -> jax.Array:
     """
     n = f.n_var
     dtype = f.lod.dtype
+    if f.lod.shape[0] == 0:
+        # bounds-only hierarchy: no general levels, x is the fixed values
+        return jnp.where(f.fixed_mask, f.fixed_val, jnp.zeros((n,), dtype))
     q = jnp.arange(n)
     U = f.lod[f.rank_row, :]  # (n, n+1) gathered pivot rows
     live = q < f.total_rank
@@ -786,6 +789,9 @@ def _gathered_staircase(f: LexQR):
     dtype = f.lod.dtype
     q = jnp.arange(n)
     live = q < f.total_rank
+    if f.lod.shape[0] == 0:
+        eye = jnp.eye(n, dtype=dtype)
+        return eye, jnp.zeros((n,), dtype), live, jnp.zeros((n, n + 1), dtype)
     U = f.lod[f.rank_row, :]
     Utri = jnp.where(live[:, None], jnp.triu(U[:, :n]), jnp.eye(n, dtype=dtype))
     rhs = jnp.where(live, U[:, n], 0)

@@ -56,8 +56,12 @@ def random_equality_hierarchy(
         A_levels.append(A_i)
         b_levels.append(b_i)
 
-    A = np.concatenate(A_levels, axis=0)
-    b = np.concatenate(b_levels)
+    if A_levels:
+        A = np.concatenate(A_levels, axis=0)
+        b = np.concatenate(b_levels)
+    else:  # e.g. a bounds-only hierarchy: no general levels
+        A = np.zeros((0, n_var))
+        b = np.zeros(0)
 
     fixed_idx = fixed_val = None
     if fixed_variables > 0:
