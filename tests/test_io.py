@@ -102,3 +102,49 @@ def test_solve_test01_parity():
     assert jwarm.status == T.TerminationStatus.PROBLEM_SOLVED
     assert jwarm.n_iterations == 1
     np.testing.assert_allclose(_level_norms(jwarm.v, prob.dims), on, atol=1e-8)
+
+
+def test_equality_corpus_roundtrip():
+    """Equality (#HierType 100) corpus: write, parse (both parsers),
+    convert with a simple-bounds first level -> fixed variables, solve."""
+    from lexls_tpu.io.dat import (
+        HIER_EQUALITIES, OBJ_GENERAL, OBJ_SIMPLE, DatHierarchy, to_equality,
+    )
+    from lexls_tpu.api import LexLSE
+
+    rng = np.random.default_rng(3)
+    n = 6
+    A1 = rng.standard_normal((3, n)); b1 = rng.standard_normal(3)
+    A2 = rng.standard_normal((2, n)); b2 = rng.standard_normal(2)
+    # level 0: fix variables 2 and 5 (stored 1-based in the file)
+    d = DatHierarchy(
+        hier_type=HIER_EQUALITIES, n_var=n,
+        objectives=[
+            np.array([[3.0, 0.7], [6.0, -0.2]]),
+            np.column_stack([A1, b1]),
+            np.column_stack([A2, b2]),
+        ],
+        obj_type=np.array([OBJ_SIMPLE, OBJ_GENERAL, OBJ_GENERAL]),
+    )
+    path = tempfile.mktemp(suffix=".dat")
+    try:
+        save_dat(path, d)
+        d2 = load_dat_python(path)
+        assert d2.hier_type == HIER_EQUALITIES
+        prob = to_equality(d2)
+        assert prob.n_fixed == 2
+        np.testing.assert_array_equal(prob.fixed_idx, [2, 5])
+        res = LexLSE(prob).solve(solve_option=0)
+        np.testing.assert_allclose(res.x[[2, 5]], [0.7, -0.2], atol=1e-12)
+        # level-1 residual must be lexicographically optimal given the fixes
+        free = [i for i in range(n) if i not in (2, 5)]
+        x_ls = np.linalg.lstsq(A1[:, free], b1 - A1[:, [2, 5]] @ [0.7, -0.2],
+                               rcond=None)[0]
+        np.testing.assert_allclose(
+            np.linalg.norm(A1[:, free] @ x_ls - (b1 - A1[:, [2, 5]] @ [0.7, -0.2])),
+            np.linalg.norm(res.v[0:3]), atol=1e-9)
+        if native_available():
+            d3 = load_dat(path)
+            np.testing.assert_array_equal(d3.objectives[1], d2.objectives[1])
+    finally:
+        os.remove(path)
