@@ -573,21 +573,14 @@ def factorize_fast(
             continue
         K = min(dim, n)
 
-        # The level block is lifted out of lod for the whole pivot loop
-        # (one static-slice read, one write-back); the loop is UNROLLED
-        # with a static `counter` so every step touches only the live
-        # tail rows `block[counter:]` — the rows above a step's pivot
-        # are provably untouched (u is zero there), so slicing them out
-        # halves the per-step memory traffic on average.
-        block = lod[fr : fr + dim, :]
-        col_norms = jnp.sum(block[:, :n] * block[:, :n], axis=0)
-        stopped = jnp.zeros((), bool)
-        qpos = jnp.arange(n, dtype=jnp.int32)
+        block0 = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
+        col_norms = jnp.sum(block0[:, :n] * block0[:, :n], axis=0)
+        rows = jnp.arange(dim)
 
-        for counter in range(dim):
+        def pivot_step(counter, carry, fr=fr, dim=dim, rows=rows):
+            (lod, col_norms, pos, col_at, rank_row, hh, col_index, stopped) = carry
             row_index = fr + counter
-            tail = block[counter:, :]          # (dim - counter, n+1), static
-            trows = jnp.arange(dim - counter)
+            block = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
 
             # --- pivot: max column norm among remaining positions; ties
             # resolve to the smallest position (reference scan order)
@@ -599,8 +592,9 @@ def factorize_fast(
 
             # stability recomputation (``lexlse.h:208-211``)
             one_piv = (phys == piv).astype(dtype)
-            seg = tail[:, :n] @ one_piv        # pivot column, live rows
-            max_val = jnp.sum(seg * seg)
+            colv = block[:, :n] @ one_piv  # (dim,)
+            row_live = rows >= counter
+            max_val = jnp.sum(jnp.where(row_live, colv * colv, 0))
             col_norms = jnp.where(phys == piv, max_val, col_norms)
 
             ok = max_val >= tol
@@ -613,12 +607,14 @@ def factorize_fast(
             do = accept
             pos = jnp.where(do & (phys == c1), q2,
                             jnp.where(do & (phys == piv), col_index, pos))
+            qpos = jnp.arange(n, dtype=jnp.int32)
             col_at = jnp.where(do & (qpos == col_index), piv,
                                jnp.where(do & (qpos == q2), c1, col_at))
 
-            # --- Householder reflection of the live rows
-            c0 = seg[0]
-            s_tail = jnp.sum(jnp.where(trows > 0, seg * seg, 0))
+            # --- Householder reflection of the remaining rows
+            seg = jnp.where(row_live, colv, 0)
+            c0 = seg[counter]
+            s_tail = jnp.sum(jnp.where(rows > counter, seg * seg, 0))
             nonzero_tail = s_tail > 0
             beta = jnp.sqrt(c0 * c0 + s_tail)
             beta = jnp.where(c0 >= 0, -beta, beta)
@@ -626,34 +622,40 @@ def factorize_fast(
             denom = jnp.where(nonzero_tail, c0 - beta, jnp.ones((), dtype))
             tau = jnp.where(nonzero_tail, (beta - c0) / beta, 0)
             essential = seg / denom
-            u = jnp.where(trows == 0, jnp.ones((), dtype), essential)
+            u = jnp.where(rows == counter, jnp.ones((), dtype),
+                          jnp.where(rows > counter, essential, 0))
 
-            w = u @ tail  # (n+1,)
+            w = u @ block  # (n+1,)
             # trailing columns: position > col_index, plus the RHS column
             colmask = jnp.concatenate(
                 [pos > col_index, jnp.ones((1,), bool)])
             upd = tau * jnp.where(accept, 1.0, 0.0)
-            new_tail = tail - upd * jnp.outer(u, jnp.where(colmask, w, 0))
+            new_block = block - upd * jnp.outer(u, jnp.where(colmask, w, 0))
             # pivot column: beta at the diagonal, essentials below
-            newcol = jnp.where(trows == 0, beta, essential)
-            newcol = jnp.where(accept, newcol, seg)
+            newcol = jnp.where(rows == counter, beta,
+                               jnp.where(rows > counter, essential, colv))
+            newcol = jnp.where(accept, newcol, colv)
             one_piv_p1 = jnp.concatenate([one_piv, jnp.zeros((1,), dtype)])
-            new_tail = (new_tail * (1.0 - one_piv_p1)[None, :]
-                        + jnp.outer(newcol, one_piv_p1))
-            block = block.at[counter:, :].set(new_tail)
+            new_block = (new_block * (1.0 - one_piv_p1)[None, :]
+                         + jnp.outer(newcol, one_piv_p1))
+            lod = lax.dynamic_update_slice_in_dim(lod, new_block, fr, axis=0)
 
             hh = hh.at[row_index].set(jnp.where(accept, tau, hh[row_index]))
             rank_row = jnp.where(
                 accept & (qpos == col_index), row_index, rank_row)
 
             # --- downdate of column norms
-            pivot_row = new_tail[0, :n]
+            pivot_row = new_block[counter, :n]
             dd = jnp.where(pos > col_index, pivot_row * pivot_row, 0)
             col_norms = jnp.where(accept, col_norms - dd, col_norms)
 
             col_index = col_index + accept.astype(jnp.int32)
+            return (lod, col_norms, pos, col_at, rank_row, hh, col_index, stopped)
 
-        lod = lod.at[fr : fr + dim, :].set(block)
+        carry = (lod, col_norms, pos, col_at, rank_row, hh, col_index,
+                 jnp.zeros((), bool))
+        (lod, _, pos, col_at, rank_row, hh, col_index, _) = lax.fori_loop(
+            0, dim, pivot_step, carry)
 
         rank = col_index - first_col
         ranks.append(rank)
