@@ -1,0 +1,139 @@
+"""Secondary benchmarks (BASELINE configs beyond the headline metric).
+
+Not run by the driver (which runs bench.py); prints one JSON line per
+config for the record:
+  1. equality-only l-QR at the test_01.dat scale (88 vars, 5 levels) —
+     batched factorize + solve throughput;
+  3. deep rank-deficient hierarchy (6 levels) with Tikhonov
+     regularization — full active-set solve throughput (cold).
+Same hardened timing protocol as bench.py (scalar fetch, scan-length
+slope).
+"""
+
+import functools
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+
+def _slope(run, args, Ns=(1, 9), reps=5):
+    med = {}
+    for N in Ns:
+        np.asarray(run(*args, N=N))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(run(*args, N=N))
+            ts.append(time.perf_counter() - t0)
+        med[N] = statistics.median(ts)
+    return (med[max(Ns)] - med[min(Ns)]) / (max(Ns) - min(Ns))
+
+
+def bench_equality():
+    import lexls_tpu.lexlse as jle
+    from lexls_tpu.oracle import generate as gen
+    from lexls_tpu.types import ParametersLexLSE
+
+    dtype = jnp.float32
+    on_tpu = jax.devices()[0].platform == "tpu"
+    B = 384 if on_tpu else 4
+    n, dims = 88, (33, 3, 2, 97)  # test_01's general levels
+    params = ParametersLexLSE(tol_linear_dependence=1e-7)
+
+    rng = np.random.default_rng(0)
+    A, b, _, _, _ = gen.random_equality_hierarchy(rng, n, list(dims))
+    As = jnp.asarray(np.stack([A + 1e-3 * rng.standard_normal(A.shape)
+                               for _ in range(B)]), dtype)
+    bs = jnp.asarray(np.stack([b + 1e-3 * rng.standard_normal(b.shape)
+                               for _ in range(B)]), dtype)
+
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def run(As, bs, N):
+        with jax.default_matmul_precision("float32"):
+            def body(carry, _):
+                Ac, acc = carry
+                def one(Ai, bi):
+                    f = jle.factorize_fast(Ai, bi, dims, params)
+                    return jle.solve(f)
+                xs = jax.vmap(one)(Ac, bs)
+                return (Ac + 1e-9 * jnp.sum(xs), acc + jnp.sum(xs)), None
+            (Ac, acc), _ = lax.scan(body, (As, jnp.zeros((), dtype)), None, length=N)
+            return acc
+
+    s = _slope(run, (As, bs))
+    rate = B / max(s, 1e-9)
+    print(json.dumps({
+        "metric": "equality_lqr_solves_per_s",
+        "value": round(rate, 2), "unit": "solves/s",
+        "config": f"B={B} n={n} dims={dims} (test_01 scale)",
+    }))
+
+
+def bench_deep_regularized():
+    import lexls_tpu.lexlsi as jli
+    from lexls_tpu.oracle import generate as gen
+    from lexls_tpu.parallel import solve_batched
+    from lexls_tpu.types import ParametersLexLSI, RegularizationType
+
+    dtype = jnp.float32
+    on_tpu = jax.devices()[0].platform == "tpu"
+    B = 128 if on_tpu else 4
+    rng = np.random.default_rng(0)
+    prob = gen.random_inequality_hierarchy(
+        rng, 24, [6, 5, 5, 4, 4, 4], ranks=[4, 3, 3, 2, 2, 2],
+        equality_fraction=0.1)
+    prob.regularization = np.full(6, 0.05)
+    struct = jli.Structure.of(prob)
+    m, n = prob.n_ctr, prob.n_var
+    params = ParametersLexLSI(
+        regularization_type=RegularizationType.TIKHONOV,
+        max_number_of_factorizations=64,
+        tol_linear_dependence=1e-7, tol_wrong_sign_lambda=1e-4,
+        tol_correct_sign_lambda=1e-6, tol_feasibility=1e-5)
+
+    ct0, st0, ns0 = jli.initial_activation(prob)
+    c0 = jnp.broadcast_to(jnp.asarray(ct0), (B, m))
+    s0 = jnp.broadcast_to(jnp.asarray(st0), (B, m))
+    n0 = jnp.broadcast_to(jnp.asarray(ns0), (B,))
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, m))
+    reg = jnp.asarray(prob.regularization, dtype)
+    base = jnp.asarray(np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
+                                 for _ in range(B)]), dtype)
+
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def run(base, N):
+        def body(carry, _):
+            Ac, acc = carry
+            st = solve_batched(Ac, lbs, ubs, c0, s0, n0,
+                               jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
+                               reg, struct=struct, params=params)
+            return (Ac + 1e-9 * jnp.sum(st.x), acc + jnp.sum(st.status)), None
+        (Ac, acc), _ = lax.scan(body, (base, jnp.zeros((), dtype)), None, length=N)
+        return acc
+
+    s = _slope(run, (base,), Ns=(1, 4), reps=3)
+    rate = B / max(s, 1e-9)
+    print(json.dumps({
+        "metric": "deep_regularized_cold_solves_per_s",
+        "value": round(rate, 2), "unit": "solves/s",
+        "config": f"B={B} n=24 levels=6 rank-deficient tikhonov",
+    }))
+
+
+if __name__ == "__main__":
+    bench_equality()
+    bench_deep_regularized()

@@ -11,6 +11,7 @@ point for equality-only hierarchies, including the MEX feature set of
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax.numpy as jnp
@@ -108,3 +109,26 @@ class LexLSE:
             x=xh, v=v, ranks=np.asarray(f.ranks), total_rank=int(f.total_rank),
             lexqr=f,
         )
+
+
+def solve_equality_batched(A, b, dims, params: Optional[ParametersLexLSE] = None,
+                           least_norm: bool = False):
+    """Batched equality-hierarchy solve on device: ``A`` (B, m, n),
+    ``b`` (B, m) -> x (B, n).  One jitted vmap of the fast l-QR + solve
+    (BASELINE config 1 at scale: many independent equality hierarchies
+    per chip).  ``least_norm`` switches to the least-norm completion."""
+    import jax
+
+    params = params or ParametersLexLSE()
+    dims = tuple(int(d) for d in dims)
+
+    @functools.partial(jax.jit, static_argnames=("ln",))
+    def run(A, b, ln):
+        with jax.default_matmul_precision("float32"):
+            def one(Ai, bi):
+                f = le.factorize_fast(Ai, bi, dims, params)
+                return le.solve_least_norm(f) if ln else le.solve(f)
+
+            return jax.vmap(one)(A, b)
+
+    return run(jnp.asarray(A), jnp.asarray(b), least_norm)

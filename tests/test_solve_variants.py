@@ -106,3 +106,19 @@ def test_general_norm(seed):
     Z = Vt[rank:].T
     g = Z.T @ (M.T @ (M @ sg.x - m))
     np.testing.assert_allclose(g, 0, atol=1e-7)
+
+
+def test_solve_equality_batched():
+    from lexls_tpu.api import solve_equality_batched
+
+    rng = np.random.default_rng(5)
+    B, n, dims = 4, 10, (3, 3)
+    As, bs = [], []
+    for _ in range(B):
+        A, b, _, _, _ = gen.random_equality_hierarchy(rng, n, list(dims), (2, 2))
+        As.append(A); bs.append(b)
+    xs = np.asarray(solve_equality_batched(np.stack(As), np.stack(bs), dims))
+    for i in range(B):
+        prob = EqualityHierarchy(A=As[i], b=bs[i], dims=dims)
+        ref = LexLSE(prob).solve(solve_option=0)
+        np.testing.assert_allclose(xs[i], ref.x, atol=1e-10)
