@@ -56,8 +56,8 @@ def main():
 
     n_var, dims = 100, (30, 30, 30, 30)
     B = int(os.environ.get("LEXLS_BENCH_B", 384 if on_tpu else 8))
-    Ts = (2, 10) if on_tpu else (2, 4)
-    reps = int(os.environ.get("LEXLS_BENCH_REPS", 5 if on_tpu else 1))
+    Ts = (2, 14) if on_tpu else (2, 4)
+    reps = int(os.environ.get("LEXLS_BENCH_REPS", 7 if on_tpu else 1))
     # native = natively-batched solver (+ Pallas panels); vmap = vmapped
     # per-instance solver (XLA)
     mode = os.environ.get("LEXLS_BENCH_MODE", "vmap")

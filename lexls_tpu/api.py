@@ -96,10 +96,9 @@ class LexLSE:
     def lambdas(self) -> np.ndarray:
         """λ matrix (m, p): column k = multipliers of objective k."""
         f = self._f or self.factorize()
-        A_masked = jnp.asarray(self.prob.A, self.dtype)
-        if self._fixed[0] is not None:
-            A_masked = A_masked  # original columns, as the reference snapshot
-        _, lam = le.lambda_matrix(f, A_fixed_cols=A_masked)
+        # original columns serve as the fixed-variable data snapshot
+        A_cols = jnp.asarray(self.prob.A, self.dtype)
+        _, lam = le.lambda_matrix(f, A_fixed_cols=A_cols)
         return np.asarray(lam)
 
     def _result(self, f: le.LexQR, x) -> LexLSEResult:
