@@ -181,3 +181,32 @@ def test_sequence_batched_native_matches_vmap():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-10)
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
     np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(ref[3]))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_solve_core_batched_simple_bounds(use_pallas):
+    """Natively-batched solver on simple-bounds hierarchies (fixed
+    variables flow through the Pallas panels)."""
+    rng = np.random.default_rng(21)
+    base = gen.random_inequality_hierarchy(rng, 6, [3, 3, 2], simple_bounds=True)
+    B = 4
+    As = np.stack([base.A for _ in range(B)])
+    # perturb only the general rows (the unit selector rows must stay)
+    for i in range(B):
+        As[i][3:] += 1e-2 * rng.standard_normal(As[i][3:].shape)
+    lbs = np.broadcast_to(base.lb, (B,) + base.lb.shape).copy()
+    ubs = np.broadcast_to(base.ub, (B,) + base.ub.shape).copy()
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    c0, s0, n0, x0, v0 = batched_initial_arrays(base, B)
+    reg = jnp.asarray(base.regularization)
+
+    ref = solve_batched(jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+                        c0, s0, n0, x0, v0, reg, struct=struct, params=params)
+    st = jli.solve_core_batched(
+        jnp.asarray(As), jnp.asarray(lbs), jnp.asarray(ubs),
+        c0, s0, n0, x0, v0, reg, struct=struct, params=params,
+        x_guess_specified=False, v0_specified=False, use_pallas=use_pallas)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref.x), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(st.ctr_type), np.asarray(ref.ctr_type))
+    np.testing.assert_array_equal(np.asarray(st.it), np.asarray(ref.it))
