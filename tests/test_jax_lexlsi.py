@@ -279,3 +279,37 @@ def test_all_equality_level():
     jres, ores = _compare(prob)
     assert np.all(jres.ctr_type[np.abs(prob.lb - prob.ub) < 1e-15]
                   == int(T.CtrType.ACTIVE_EQ))
+
+
+def test_float32_solver_robustness():
+    """The f32 throughput tier (TPU dtype) with f32-scaled tolerances:
+    solves converge and satisfy feasibility/optimality at f32 precision,
+    including under rank deficiency."""
+    import jax.numpy as jnp
+
+    f32_params = T.ParametersLexLSI(
+        max_number_of_factorizations=64,
+        tol_linear_dependence=1e-7, tol_wrong_sign_lambda=1e-4,
+        tol_correct_sign_lambda=1e-6, tol_feasibility=1e-5)
+    for seed, ranks in [(1, None), (2, [3, 2, 2])]:
+        rng = np.random.default_rng(1000 + seed)
+        prob = gen.random_inequality_hierarchy(rng, 10, [5, 4, 4], ranks=ranks)
+        struct = jli.Structure.of(prob)
+        ct0, st0, ns0 = jli.initial_activation(prob)
+        st = jli.solve_core(
+            jnp.asarray(prob.A, jnp.float32), jnp.asarray(prob.lb, jnp.float32),
+            jnp.asarray(prob.ub, jnp.float32),
+            jnp.asarray(ct0), jnp.asarray(st0), jnp.asarray(ns0),
+            jnp.zeros(10, jnp.float32), jnp.zeros(prob.n_ctr, jnp.float32),
+            jnp.asarray(prob.regularization, jnp.float32),
+            struct=struct, params=f32_params,
+            x_guess_specified=False, v0_specified=False)
+        assert int(st.status) == int(T.TerminationStatus.PROBLEM_SOLVED), seed
+        x = np.asarray(st.x, np.float64)
+        Ax = prob.A @ x
+        inact = np.asarray(st.ctr_type) == 0
+        assert np.all(Ax[inact] >= prob.lb[inact] - 1e-4)
+        assert np.all(Ax[inact] <= prob.ub[inact] + 1e-4)
+        # f32 solution close to the f64 oracle solution
+        ores = oli.solve(prob)
+        np.testing.assert_allclose(x, ores.x, atol=5e-3)
