@@ -6,7 +6,7 @@ reference (``include/lexls/lexlsi.h``, ``objective.h``, ``workingset.h``,
 
   * **The whole active-set loop is one ``lax.while_loop``** whose carry is
     the full solver state pytree {x, v, dv, Ax, Adx, activation types,
-    stamps, counters, cycling state, carried factorization, trace log}.
+    stamps, counters, cycling state, trace log}.
     ``vmap`` of the solve gives batched solving with per-instance
     convergence (converged instances no-op until all terminate).
   * **The working set is data, not structure**: a per-constraint int32
