@@ -822,6 +822,73 @@ def solve_core_batched(
         return dataclasses.replace(s, status=status)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
+                     "tile", "interpret"),
+)
+def solve_core_fused(
+    A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
+    struct: Structure, params: ParametersLexLSI,
+    x_guess_specified: bool, v0_specified: bool,
+    tile: int = 8, interpret: bool = False,
+) -> LexLSIState:
+    """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
+    active-set loop in one Pallas program per batch tile with all state
+    resident in VMEM (:mod:`lexls_tpu.ops.fused`).
+
+    Functionally equivalent to ``vmap`` of :func:`solve_core` for the
+    supported configuration (general objectives, no regularization,
+    no cycling handling, no working-set log, no trace); raises
+    ``LexLSError`` otherwise — the XLA tiers remain the general path.
+    """
+    if struct.simple_bounds:
+        raise LexLSError("solve_core_fused: simple-bounds level unsupported")
+    if params.regularization_type != RegularizationType.NONE:
+        raise LexLSError("solve_core_fused: regularization unsupported")
+    if (params.cycling_handling_enabled or params.log_working_set_enabled
+            or params.trace_enabled or params.use_phase1_v0):
+        raise LexLSError(
+            "solve_core_fused: cycling/log/trace/use_phase1_v0 unsupported")
+    from .ops.fused import fused_active_set
+
+    p = struct.n_obj
+    prio = tuple(tuple(int(q) for q in struct.sweep_priority(j))
+                 for j in range(p))
+    elig = tuple(tuple(bool(e) for e in struct.sweep_eligible(j))
+                 for j in range(p))
+
+    with jax.default_matmul_precision("float32"):
+        s = jax.vmap(
+            lambda a, l, u, c, st, ns, x, v: _initial_state(
+                a, l, u, c, st, ns, x, v, struct, params, reg,
+                x_guess_specified, v0_specified)
+        )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+
+        (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
+         status) = fused_active_set(
+            A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
+            s.Ax, s.n_fact,
+            dims=struct.dims, tol_ld=params.tol_linear_dependence,
+            tol_feas=params.tol_feasibility,
+            tol_wrong=params.tol_wrong_sign_lambda,
+            tol_correct=params.tol_correct_sign_lambda,
+            max_fact=params.max_number_of_factorizations,
+            deact_first=params.deactivate_first_wrong_sign,
+            prio=prio, elig=elig, tile=tile, interpret=interpret)
+
+        status = jnp.where(
+            status[:, 0] == int(TerminationStatus.UNKNOWN),
+            int(TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED),
+            status[:, 0],
+        )
+        return dataclasses.replace(
+            s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ct,
+            stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0], n_act=na[:, 0],
+            n_deact=nd[:, 0], n_fact=nf[:, 0], status=status,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Lagrange multipliers at the current working set
 # ---------------------------------------------------------------------------

@@ -1,0 +1,552 @@
+"""Fused whole-solve Pallas kernel: the entire active-set loop in VMEM.
+
+Round-1 profiling showed the per-iteration formulation pays ~5-8 full
+(B, m, n) HBM passes per *pivot step*: every XLA op in the factorize /
+solve / ratio-test / lambda-sweep chain round-trips the LOD through HBM,
+and the op dispatch overhead multiplies across the ~120 sequential pivot
+steps of one iteration.  This kernel runs the ENTIRE active-set solve
+(reference ``LexLSI::solve``, ``lexlsi.h:205-246``, whose hot loop is
+``verifyWorkingSet``, ``lexlsi.h:1144-1265``) for a tile of TB batch
+instances inside one Pallas program:
+
+  * All solver state — LOD, working-set types, stamps, x/v/Ax, counters —
+    lives in VMEM refs for the whole solve (~150 KB/instance at the
+    north-star shape; TB=8 uses ~1.5 MB of the ~16 MB VMEM).
+  * HBM traffic per solve drops to reading the problem data once and
+    writing the results once.
+  * The active-set iteration is a ``lax.while_loop`` whose carry is a
+    single "any instance alive" scalar; per-instance termination freezes
+    state by predication (the same semantics ``vmap`` of the XLA solver's
+    ``while_loop`` produces).
+  * The lambda sweep runs under a *scalar* ``lax.cond`` — unlike the
+    vmapped XLA path (where ``cond`` lowers to ``select`` and the sweep
+    executes even on blocking iterations), a tile whose live instances
+    all hit blocking constraints skips the sweep entirely.
+
+Numerical design (all shared with the XLA tiers, parity-tested):
+  * the panel pivot loop reuses ``_panel_step_core`` (ops/pallas_lqr.py)
+    — virtual column permutation, one-hot contractions, no dynamic lane
+    indexing;
+  * inter-level Gauss elimination (reference ``lexlse.h:431-471``) is a
+    forward column sweep producing L = B R^{-1} without materializing
+    R^{-1}; the trailing update is a true per-instance MXU matmul;
+  * the basic solve (reference ``lexlse.h:1015-1045``) is a per-level
+    backward substitution in the virtual frame;
+  * multipliers (reference ``ObjectiveSensitivity``, ``lexlse.h:611-762``)
+    back-propagate by sequential Householder replay — exactly the
+    reference's ``applyOnTheLeft(householderSequence(...))`` order.
+
+Unsupported here (the XLA path remains the general tier): regularization,
+simple-bounds level 0, cycling handling, working-set log, trace.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import CtrType, TerminationStatus
+from .pallas_lqr import _panel_step_core
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+_HIGH = lax.Precision.HIGHEST
+
+
+def _bdot(a, b):
+    """Per-instance matmul over the leading batch axis, unrolled (Mosaic
+    has no batched dot; TB is small and static)."""
+    return jnp.stack(
+        [jnp.dot(a[t], b[t], precision=_HIGH) for t in range(a.shape[0])])
+
+
+def _is_active(t):
+    return (t == int(CtrType.ACTIVE_LB)) | (t == int(CtrType.ACTIVE_UB)) | (
+        t == int(CtrType.ACTIVE_EQ))
+
+
+def _rhs_of_type(lb, ub, t):
+    is_ub = (t == int(CtrType.ACTIVE_UB)) | (t == int(CtrType.ACTIVE_EQ))
+    is_lb = t == int(CtrType.ACTIVE_LB)
+    return jnp.where(is_ub, ub, jnp.where(is_lb, lb, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Per-iteration pieces (value-level, batched over the TB tile axis)
+# ---------------------------------------------------------------------------
+
+
+def _gauss_columns(Bpad, Rpad, rank, K):
+    """L with L R = B by a forward column sweep (reference Gauss step,
+    ``lexlse.h:431-471``): column j of L is (B_j - sum_{i<j} L_i R_{ij})
+    / R_{jj}.  Static unroll over K; columns at or beyond the discovered
+    rank are zero.  Bpad (TB, Mk, K), Rpad (TB, K, K), rank (TB, 1)."""
+    cols = []
+    acc = Bpad
+    for j in range(K):
+        live = (j < rank).astype(Bpad.dtype)  # (TB, 1)
+        rjj = Rpad[:, j, j][:, None]
+        rjj_safe = jnp.where(jnp.abs(rjj) > 0, rjj, 1.0)
+        lj = (acc[:, :, j] / rjj_safe) * live  # (TB, Mk)
+        if j + 1 < K:
+            acc = acc.at[:, :, j + 1 :].add(
+                -lj[:, :, None] * Rpad[:, j, j + 1 :][:, None, :])
+        cols.append(lj)
+    return jnp.stack(cols, axis=2)  # (TB, Mk, K)
+
+
+def _backsub(Rpad, seg, rank, K):
+    """y with triu(Rpad) y = seg (within-level backward substitution,
+    reference ``lexlse.h:1015-1045``); rows at or beyond rank give 0."""
+    acc = seg  # (TB, K)
+    ys = [None] * K
+    for j in range(K - 1, -1, -1):
+        live = (j < rank).astype(seg.dtype)
+        rjj = Rpad[:, j, j][:, None]
+        rjj_safe = jnp.where(jnp.abs(rjj) > 0, rjj, 1.0)
+        yj = (acc[:, j][:, None] / rjj_safe) * live  # (TB, 1)
+        if j > 0:
+            acc = acc.at[:, :j].add(-yj * Rpad[:, :j, j])
+        ys[j] = yj[:, 0]
+    return jnp.stack(ys, axis=1)  # (TB, K)
+
+
+def _apply_q_rows(S, V, tau_cols, K):
+    """S <- S Q^T row-form: apply Q = H_0 ... H_{K-1} to each row of S
+    (TB, r, dim) by sequential Householder replay, j = K-1 .. 0 —
+    the reference's ``applyOnTheLeft(householderSequence(...))`` order
+    (``lexlse.h:550-552``).  V (TB, dim, K), tau_cols list of (TB, 1)."""
+    for j in range(K - 1, -1, -1):
+        vj = V[:, :, j]  # (TB, dim)
+        coef = jnp.sum(S * vj[:, None, :], axis=2)  # (TB, r)
+        S = S - tau_cols[j][:, :, None] * coef[:, :, None] * vj[:, None, :]
+    return S
+
+
+def _check_blocking_tile(ctr_type, Ax, Adx, v, dv, lb, ub, tol_feasibility,
+                         iota_m, dtype):
+    """Batched ratio test (mirrors ``lexlsi._check_blocking``,
+    reference ``objective.h:521-578``); first-minimum tie-break."""
+    inactive = ctr_type == int(CtrType.INACTIVE)
+    den = Adx - dv
+    neg = den < -tol_feasibility
+    pos = den > tol_feasibility
+    eligible = inactive & (neg | pos)
+    rhs = jnp.where(neg, lb, ub)
+    typ = jnp.where(neg, int(CtrType.ACTIVE_LB), int(CtrType.ACTIVE_UB))
+    num = rhs - Ax + v
+    ratio = jnp.maximum(num / jnp.where(eligible, den, 1.0), 0.0)
+    masked = jnp.where(eligible, ratio, jnp.asarray(jnp.inf, dtype))
+    amin = jnp.min(masked, axis=1, keepdims=True)  # (TB, 1)
+    first = eligible & (masked == amin)
+    row = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
+                  keepdims=True).astype(jnp.int32)  # (TB, 1)
+    blocking = (amin < 1.0) & (row < iota_m.shape[1])
+    alpha = jnp.where(blocking, amin, jnp.asarray(1.0, dtype))
+    row_hot = iota_m == row
+    btype = jnp.sum(jnp.where(row_hot & blocking, typ, 0), axis=1,
+                    keepdims=True).astype(jnp.int32)
+    row = jnp.where(blocking, row, -1)
+    return alpha, row, btype, blocking
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
+                  Ax_in, nf_in, prio_in, elig_in,
+                  x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
+                  it_o, na_o, nd_o, nf_o, status_o,
+                  lod_ref, hh_ref, pos_ref, col_at_ref, rr_ref, cn_ref,
+                  ci_ref, stop_ref):
+    """One batch tile's full active-set solve; ``ctx`` carries the static
+    problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
+    the lambda-sweep visit priorities / eligibility per objective."""
+    (dims, offsets, n, m, p, tol_ld, tol_feas, tol_wrong, tol_correct,
+     max_fact, deact_first) = ctx
+    TB = A_in.shape[0]
+    dtype = A_in.dtype
+
+    iota_m = lax.broadcasted_iota(jnp.int32, (TB, m), 1)
+    iota_n = lax.broadcasted_iota(jnp.int32, (TB, n), 1)
+
+    # --- state initialization from the phase-1 inputs
+    x_o[:] = x_in[:]
+    v_o[:] = v_in[:]
+    Ax_o[:] = Ax_in[:]
+    ct_o[:] = ct_in[:]
+    st_o[:] = st_in[:]
+    ns_o[:] = ns_in[:]
+    nf_o[:] = nf_in[:]
+    dx_o[:] = jnp.zeros((TB, n), dtype)
+    dv_o[:] = jnp.zeros((TB, m), dtype)
+    Adx_o[:] = jnp.zeros((TB, m), dtype)
+    it_o[:] = jnp.zeros((TB, 1), jnp.int32)
+    na_o[:] = jnp.zeros((TB, 1), jnp.int32)
+    nd_o[:] = jnp.zeros((TB, 1), jnp.int32)
+    status_o[:] = jnp.full((TB, 1), int(TerminationStatus.UNKNOWN), jnp.int32)
+
+    def alive_now():
+        return (status_o[:] == int(TerminationStatus.UNKNOWN)) & (
+            (it_o[:] == 0) | (nf_o[:] < max_fact))
+
+    def body(_carry):
+        alive = alive_now()  # (TB, 1)
+        ct = ct_o[:]
+        lb = lb_in[:]
+        ub = ub_in[:]
+        active = _is_active(ct)
+        rhs_row = _rhs_of_type(lb, ub, ct)
+
+        # ---- build the masked LexLSE subproblem in the LOD
+        # (``formLexLSE``: lexlsi.h:968-982 — inactive rows are zero)
+        actf = active.astype(dtype)
+        lod_ref[:, :, :n] = A_in[:] * actf[:, :, None]
+        lod_ref[:, :, n] = rhs_row * actf
+
+        # ---- factorize: per-level panel pivot loop + Gauss elimination
+        pos_ref[:] = iota_n
+        col_at_ref[:] = iota_n
+        rr_ref[:] = jnp.zeros((TB, n), jnp.int32)
+        ci_ref[:] = jnp.zeros((TB, 1), jnp.int32)
+        hh_ref[:] = jnp.zeros((TB, m), dtype)
+
+        per_level = []  # (fr, dim, K, fc, end, rank, Chot, Rpad, V, taus)
+        for k in range(p):
+            fr, dim = offsets[k], dims[k]
+            K = min(dim, n)
+            fc = ci_ref[:]  # (TB, 1) first position of this level
+            if dim == 0:
+                per_level.append(None)
+                continue
+
+            block0 = lod_ref[:, fr : fr + dim, :]
+            cn_ref[:] = jnp.sum(block0[:, :, :n] * block0[:, :, :n], axis=1)
+            stop_ref[:] = jnp.zeros((TB, 1), jnp.int32)
+            hh_lvl0 = jnp.zeros((TB, dim), dtype)
+
+            def panel_step(counter, hh_lvl, fr=fr, dim=dim):
+                out = _panel_step_core(
+                    counter, lod_ref[:, fr : fr + dim, :], cn_ref[:],
+                    pos_ref[:], col_at_ref[:], ci_ref[:], stop_ref[:],
+                    rr_ref[:], hh_lvl, fr=fr, dim=dim, n=n, tol=tol_ld)
+                lod_ref[:, fr : fr + dim, :] = out[0]
+                cn_ref[:] = out[1]
+                pos_ref[:] = out[2]
+                col_at_ref[:] = out[3]
+                ci_ref[:] = out[4]
+                stop_ref[:] = out[5]
+                rr_ref[:] = out[6]
+                return out[7]
+
+            hh_lvl = lax.fori_loop(0, dim, panel_step, hh_lvl0)
+            hh_ref[:, fr : fr + dim] = hh_lvl
+
+            end = ci_ref[:]            # (TB, 1) position after this level
+            rank = end - fc
+
+            # one-hot position->column map of this level's K pivot slots:
+            # Chot[t, j, c] = (pos[t, c] == fc + j); replaces every gather
+            jj = lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+            Chot = (pos_ref[:][:, None, :] == (fc[:, :, None] + jj)).astype(dtype)
+
+            rows_lvl = lod_ref[:, fr : fr + K, :n]  # (TB, K, n)
+            ChotT = jnp.swapaxes(Chot, 1, 2)        # (TB, n, K)
+            Rpad = _bdot(rows_lvl, ChotT)           # (TB, K, K)
+
+            # WY-ingredient V for the lambda replay (``_wy_raw`` masks):
+            # unit-lower-trapezoid of reflection vectors, dead columns 0
+            Mcols = _bdot(lod_ref[:, fr : fr + dim, :n], ChotT)  # (TB,dim,K)
+            rloc = lax.broadcasted_iota(jnp.int32, (1, dim, K), 1)
+            jcol = lax.broadcasted_iota(jnp.int32, (1, dim, K), 2)
+            taus = [hh_lvl[:, j][:, None] for j in range(K)]
+            live_col = jnp.stack(
+                [(t != 0).astype(dtype) for t in taus], axis=2)  # (TB, 1, K)
+            V = jnp.where(rloc > jcol, Mcols,
+                          (rloc == jcol).astype(dtype)) * live_col
+
+            per_level.append((fr, dim, K, fc, end, rank, Chot, Rpad, V, taus))
+
+            # ---- Gauss elimination of all lower-priority rows
+            if k < p - 1:
+                below = lod_ref[:, fr + dim :, :]  # (TB, Mk, n+1)
+                Bpad = _bdot(below[:, :, :n], ChotT)  # (TB, Mk, K)
+                Lm = _gauss_columns(Bpad, Rpad, rank, K)
+                jrow = lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+                Up = lod_ref[:, fr : fr + K, :]
+                Up = Up * (jrow < rank[:, :, None]).astype(dtype)
+                trail = jnp.concatenate(
+                    [(pos_ref[:] >= end).astype(dtype),
+                     jnp.ones((TB, 1), dtype)], axis=1)
+                Up = Up * trail[:, None, :]
+                new_below = below - _bdot(Lm, Up)
+                Lscat = _bdot(Lm, Chot)  # (TB, Mk, n)
+                store = (pos_ref[:] >= fc) & (pos_ref[:] < end)
+                new_below = jnp.concatenate(
+                    [jnp.where(store[:, None, :], Lscat, new_below[:, :, :n]),
+                     new_below[:, :, n:]], axis=2)
+                lod_ref[:, fr + dim :, :] = new_below
+
+        # ---- basic solve: per-level backward substitution in variable
+        # space (free variables = 0; ``lexlse.h:1015-1045``)
+        x_var = jnp.zeros((TB, n), dtype)
+        for k in range(p - 1, -1, -1):
+            if per_level[k] is None:
+                continue
+            fr, dim, K, fc, end, rank, Chot, Rpad, V, taus = per_level[k]
+            trail_mask = (pos_ref[:] >= end).astype(dtype)
+            xt = x_var * trail_mask
+            rows_lvl = lod_ref[:, fr : fr + K, :n]
+            contrib = _bdot(rows_lvl, xt[:, :, None])[:, :, 0]  # (TB, K)
+            jr = lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            seg = (lod_ref[:, fr : fr + K, n] - contrib) * (
+                jr < rank).astype(dtype)
+            y = _backsub(Rpad, seg, rank, K)
+            x_var = x_var + _bdot(y[:, None, :], Chot)[:, 0, :]
+
+        # ---- form the step (``objective.h:288-338``)
+        x_star = x_var
+        dx = x_star - x_o[:]
+        Adx = _bdot(A_in[:], dx[:, :, None])[:, :, 0]
+        dv = -v_o[:] + jnp.where(active, Ax_o[:] + Adx - rhs_row, 0.0)
+
+        # ---- ratio test over inactive constraints
+        alpha, brow, btype, blocking = _check_blocking_tile(
+            ct, Ax_o[:], Adx, v_o[:], dv, lb, ub, tol_feas, iota_m, dtype)
+
+        # ---- lambda sweep (constraint removal), skipped for the whole
+        # tile when every live instance has a blocking constraint
+        want_sweep = jnp.logical_not(blocking)
+        want_any = jnp.max(jnp.where(alive & want_sweep, 1, 0)) > 0
+
+        def run_sweep():
+            # all objectives' multipliers by one descending pass per level
+            # (transposed form of ``ObjectiveSensitivity``,
+            # ``lexlse.h:611-762``), Householder replay inside
+            lam_all = jnp.zeros((TB, p, m), dtype)
+            rhs_all = jnp.zeros((TB, p, n), dtype)
+            jvec = lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
+            for k in range(p - 1, -1, -1):
+                if per_level[k] is None:
+                    continue
+                fr, dim, K, fc, end, rank, Chot, Rpad, V, taus = per_level[k]
+                rows_d = lax.broadcasted_iota(jnp.int32, (TB, 1, dim), 2)
+                rhs_seg = lod_ref[:, fr : fr + dim, n]  # (TB, dim)
+                seg_top = jnp.where(rows_d[:, 0, :] >= rank, -rhs_seg, 0.0)
+                Z = _bdot(rhs_all, jnp.swapaxes(Chot, 1, 2))  # (TB, p, K)
+                if dim > K:
+                    segs = jnp.concatenate(
+                        [Z, jnp.zeros((TB, p, dim - K), dtype)], axis=2)
+                else:
+                    segs = Z
+                segs = jnp.where(rows_d < rank[:, :, None], segs, 0.0)
+                seg_k = jnp.where(jvec == k, seg_top[:, None, :], segs)
+                seg_k = _apply_q_rows(seg_k, V, taus, K)
+                valid = jvec >= k
+                seg_k = jnp.where(valid, seg_k, 0.0)
+                lam_all = lam_all.at[:, :, fr : fr + dim].set(seg_k)
+                blockk = lod_ref[:, fr : fr + dim, :n]
+                contrib = _bdot(seg_k, blockk)  # (TB, p, n)
+                # physical column c participates iff its *position* is
+                # below this level's first pivot slot (the lod here is in
+                # the virtual frame, unlike the physicalized LexQR.lod)
+                below_fc = pos_ref[:][:, None, :] < fc[:, :, None]
+                rhs_all = jnp.where(valid & below_fc, rhs_all - contrib,
+                                    rhs_all)
+            return lam_all
+
+        lam_all = lax.cond(
+            want_any, run_sweep, lambda: jnp.zeros((TB, p, m), dtype))
+
+        # ---- removal selection (``findActiveCtr2Remove``,
+        # ``lexlsi.h:1048-1139`` + CORRECT_SIGN exemption)
+        sense = ct
+        found = jnp.zeros((TB, 1), bool)
+        sel_row = jnp.full((TB, 1), -1, jnp.int32)
+        for j in range(p):
+            vals = lam_all[:, j, :]  # (TB, m)
+            eligible = (elig_in[j, :] != 0)[None, :]
+            a = jnp.where(ct == int(CtrType.ACTIVE_LB), -vals, vals)
+            consider = eligible & (
+                (sense == int(CtrType.ACTIVE_LB))
+                | (sense == int(CtrType.ACTIVE_UB)))
+            mark = consider & (a > tol_correct)
+            wrong = consider & (a < -tol_wrong)
+            sense = jnp.where(mark & jnp.logical_not(found),
+                              int(CtrType.CORRECT_SIGN_OF_LAMBDA), sense)
+            found_j = jnp.max(jnp.where(wrong, 1, 0), axis=1,
+                              keepdims=True) > 0
+            if deact_first:
+                key = jnp.where(wrong, st_o[:], _INT_MAX)
+                kmin = jnp.min(key, axis=1, keepdims=True)
+                first = wrong & (st_o[:] == kmin)
+                row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
+                                keepdims=True).astype(jnp.int32)
+            else:
+                amask = jnp.where(wrong, a, jnp.asarray(jnp.inf, dtype))
+                amin = jnp.min(amask, axis=1, keepdims=True)
+                tie = wrong & (a == amin)
+                prio = prio_in[j, :][None, :]
+                pmin = jnp.min(jnp.where(tie, prio, _INT_MAX), axis=1,
+                               keepdims=True)
+                first = tie & (prio == pmin)
+                row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
+                                keepdims=True).astype(jnp.int32)
+            commit = found_j & jnp.logical_not(found)
+            sel_row = jnp.where(commit, row_j, sel_row)
+            found = found | found_j
+
+        do_remove = want_sweep & found
+        solved = want_sweep & jnp.logical_not(found)
+        rrow = sel_row
+
+        # ---- working-set update (+stamps), step, counters
+        brow_hot = iota_m == brow
+        rrow_hot = iota_m == rrow
+        new_ct = jnp.where(blocking & brow_hot, btype,
+                           jnp.where(do_remove & rrow_hot,
+                                     int(CtrType.INACTIVE), ct))
+        new_st = jnp.where(blocking & brow_hot, ns_o[:],
+                           jnp.where(do_remove & rrow_hot, -1, st_o[:]))
+        new_ns = ns_o[:] + blocking.astype(jnp.int32)
+
+        take = (alpha > 0.0).astype(dtype)
+        afl = alpha * take
+        new_x = x_o[:] + afl * dx
+        new_v = v_o[:] + afl * dv
+        new_Ax = Ax_o[:] + afl * Adx
+
+        new_status = jnp.where(solved, int(TerminationStatus.PROBLEM_SOLVED),
+                               status_o[:])
+        new_it = it_o[:] + 1
+        new_na = na_o[:] + blocking.astype(jnp.int32)
+        new_nd = nd_o[:] + do_remove.astype(jnp.int32)
+        new_nf = nf_o[:] + (it_o[:] > 0).astype(jnp.int32)
+
+        # ---- freeze terminated instances
+        af = alive.astype(dtype)
+        ai = alive.astype(jnp.int32)
+        x_o[:] = x_o[:] + af * (new_x - x_o[:])
+        v_o[:] = v_o[:] + af * (new_v - v_o[:])
+        Ax_o[:] = Ax_o[:] + af * (new_Ax - Ax_o[:])
+        dx_o[:] = dx_o[:] + af * (dx - dx_o[:])
+        dv_o[:] = dv_o[:] + af * (dv - dv_o[:])
+        Adx_o[:] = Adx_o[:] + af * (Adx - Adx_o[:])
+        ct_o[:] = jnp.where(alive, new_ct, ct)
+        st_o[:] = jnp.where(alive, new_st, st_o[:])
+        ns_o[:] = ns_o[:] + ai * (new_ns - ns_o[:])
+        it_o[:] = it_o[:] + ai * (new_it - it_o[:])
+        na_o[:] = na_o[:] + ai * (new_na - na_o[:])
+        nd_o[:] = nd_o[:] + ai * (new_nd - nd_o[:])
+        nf_o[:] = nf_o[:] + ai * (new_nf - nf_o[:])
+        status_o[:] = jnp.where(alive, new_status, status_o[:])
+
+        return jnp.max(jnp.where(alive_now(), 1, 0)) > 0
+
+    lax.while_loop(lambda c: c, body,
+                   jnp.max(jnp.where(alive_now(), 1, 0)) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "tol_ld", "tol_feas", "tol_wrong", "tol_correct",
+                     "max_fact", "deact_first", "prio", "elig", "tile",
+                     "interpret"),
+)
+def fused_active_set(
+    A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
+    *, dims: Tuple[int, ...], tol_ld: float, tol_feas: float,
+    tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
+    prio, elig, tile: int = 8, interpret: bool = False,
+):
+    """Run the fused active-set loop on a batch (leading axis B).
+
+    ``prio`` / ``elig`` are tuples-of-tuples (hashable) with the lambda
+    sweep visit priorities / eligibility per objective (static).  Returns
+    the tuple of final state arrays.
+    """
+    B, m, n = A.shape
+    p = len(dims)
+    dtype = A.dtype
+    offsets = []
+    ofs = 0
+    for d in dims:
+        offsets.append(ofs)
+        ofs += d
+    assert ofs == m
+
+    prio_arr = jnp.asarray(np.asarray(prio, np.int32))          # (p, m)
+    elig_arr = jnp.asarray(np.asarray(elig, np.int32))          # (p, m)
+    ctx = (tuple(dims), tuple(offsets), n, m, p, tol_ld, tol_feas, tol_wrong,
+           tol_correct, max_fact, deact_first)
+
+    tile = min(tile, B)
+    assert B % tile == 0, (B, tile)
+    grid = (B // tile,)
+
+    def bspec(*shape):
+        return pl.BlockSpec((tile,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    f = jnp.zeros  # noqa: F841  (readability)
+    out_shape = (
+        jax.ShapeDtypeStruct((B, n), dtype),       # x
+        jax.ShapeDtypeStruct((B, m), dtype),       # v
+        jax.ShapeDtypeStruct((B, n), dtype),       # dx
+        jax.ShapeDtypeStruct((B, m), dtype),       # dv
+        jax.ShapeDtypeStruct((B, m), dtype),       # Ax
+        jax.ShapeDtypeStruct((B, m), dtype),       # Adx
+        jax.ShapeDtypeStruct((B, m), jnp.int32),   # ctr_type
+        jax.ShapeDtypeStruct((B, m), jnp.int32),   # stamp
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # next_stamp
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # it
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # n_act
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # n_deact
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # n_fact
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),   # status
+    )
+    out_specs = (
+        bspec(n), bspec(m), bspec(n), bspec(m), bspec(m), bspec(m),
+        bspec(m), bspec(m), bspec(1), bspec(1), bspec(1), bspec(1),
+        bspec(1), bspec(1),
+    )
+    in_specs = [
+        bspec(m, n), bspec(m), bspec(m), bspec(m), bspec(m), bspec(1),
+        bspec(n), bspec(m), bspec(m), bspec(1),
+        pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((tile, m, n + 1), dtype),   # lod
+        pltpu.VMEM((tile, m), dtype),          # hh
+        pltpu.VMEM((tile, n), jnp.int32),      # pos
+        pltpu.VMEM((tile, n), jnp.int32),      # col_at
+        pltpu.VMEM((tile, n), jnp.int32),      # rank_row
+        pltpu.VMEM((tile, n), dtype),          # col norms
+        pltpu.VMEM((tile, 1), jnp.int32),      # col_index
+        pltpu.VMEM((tile, 1), jnp.int32),      # stopped
+    ]
+
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, ctx),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(A, lb, ub, ctr_type, stamp, next_stamp[:, None], x, v, Ax,
+      n_fact[:, None], prio_arr, elig_arr)

@@ -1,0 +1,172 @@
+"""Parity of the fused whole-solve Pallas kernel vs the XLA solver.
+
+The fused kernel (``lexls_tpu/ops/fused.py``) must reproduce the vmapped
+``solve_core`` trajectory — same statuses, iteration counts, working
+sets, and (to float64 roundoff) the same x/v — across random problem
+shapes, rank deficiency, warm starts, and both removal strategies.
+Runs in Pallas interpret mode on CPU (the TPU path compiles the same
+kernel)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import lexls_tpu.lexlsi as jli
+from lexls_tpu import types as T
+from lexls_tpu.oracle import generate as gen
+from lexls_tpu.parallel import batched_initial_arrays, solve_batched
+
+
+def _run_pair(prob, params, B, rng, x0=None, drift=1e-2, tile=None):
+    struct = jli.Structure.of(prob)
+    dt = jnp.float64
+    m, n = prob.n_ctr, prob.n_var
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    As = jnp.asarray(
+        np.stack([prob.A + drift * rng.standard_normal(prob.A.shape)
+                  for _ in range(B)]), dt)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    reg = jnp.asarray(prob.regularization, dt)
+    xg = x0 is not None
+    x_in = xz if x0 is None else jnp.asarray(np.tile(x0, (B, 1)), dt)
+
+    ref = solve_batched(As, lbs, ubs, c0, s0, n0, x_in, v0, reg,
+                        struct=struct, params=params, x_guess_specified=xg)
+    fus = jli.solve_core_fused(
+        As, lbs, ubs, c0, s0, n0, x_in, v0, reg, struct=struct,
+        params=params, x_guess_specified=xg, v0_specified=False,
+        tile=tile or B, interpret=True)
+    return ref, fus
+
+
+def _assert_match(ref, fus, seed=""):
+    np.testing.assert_array_equal(np.asarray(fus.status),
+                                  np.asarray(ref.status), err_msg=str(seed))
+    np.testing.assert_array_equal(np.asarray(fus.it), np.asarray(ref.it),
+                                  err_msg=str(seed))
+    np.testing.assert_array_equal(np.asarray(fus.ctr_type),
+                                  np.asarray(ref.ctr_type), err_msg=str(seed))
+    np.testing.assert_array_equal(np.asarray(fus.stamp),
+                                  np.asarray(ref.stamp), err_msg=str(seed))
+    for f in ("n_act", "n_deact", "n_fact", "next_stamp"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fus, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"{seed}:{f}")
+    np.testing.assert_allclose(np.asarray(fus.x), np.asarray(ref.x),
+                               atol=1e-9, err_msg=str(seed))
+    np.testing.assert_allclose(np.asarray(fus.v), np.asarray(ref.v),
+                               atol=1e-9, err_msg=str(seed))
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fused_matches_xla_fuzz(trial):
+    rng_master = np.random.default_rng(1234 + trial)
+    seed = int(rng_master.integers(2**31))
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 14))
+    p = int(rng.integers(1, 5))
+    dims = [int(rng.integers(1, 7)) for _ in range(p)]
+    ranks = None
+    if rng.random() < 0.5:
+        ranks = [min(d, int(rng.integers(1, d + 1))) for d in dims]
+    eqf = float(rng.random() * 0.4)
+    tight = float(rng.random() * 0.6)
+    prob = gen.random_inequality_hierarchy(
+        rng, n, dims, ranks=ranks, equality_fraction=eqf,
+        tight_fraction=tight)
+    params = T.ParametersLexLSI(
+        max_number_of_factorizations=80,
+        deactivate_first_wrong_sign=bool(rng.random() < 0.4),
+    )
+    x0 = rng.standard_normal(n) if rng.random() < 0.4 else None
+    ref, fus = _run_pair(prob, params, B=3, rng=rng, x0=x0)
+    _assert_match(ref, fus, seed)
+
+
+def test_fused_exercises_removals():
+    """At least one fuzz shape must hit the deactivation path (sweep +
+    removal selection), otherwise the sweep code is untested."""
+    rng = np.random.default_rng(5)
+    prob = gen.random_inequality_hierarchy(
+        rng, 10, [4, 4, 4], equality_fraction=0.0, tight_fraction=0.8)
+    params = T.ParametersLexLSI(max_number_of_factorizations=120)
+    ref, fus = _run_pair(prob, params, B=4, rng=rng,
+                         x0=2.0 * rng.standard_normal(10))
+    assert int(np.asarray(ref.n_deact).sum()) > 0
+    _assert_match(ref, fus)
+
+
+def test_fused_warm_start_sequence():
+    """Warm-started chain: carry {x, active set} across drifting problems
+    through the fused path; every step must match the XLA path."""
+    rng = np.random.default_rng(7)
+    prob = gen.random_inequality_hierarchy(
+        rng, 12, [5, 4, 4], equality_fraction=0.1, tight_fraction=0.4)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(max_number_of_factorizations=80)
+    dt = jnp.float64
+    B, m, n = 2, prob.n_ctr, prob.n_var
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    reg = jnp.asarray(prob.regularization, dt)
+    from lexls_tpu.sequence import _device_initial_activation
+    import jax
+
+    act = jax.vmap(lambda a, l, u, g: _device_initial_activation(
+        a, l, u, g, struct))
+
+    x_r, ct_r = xz, c0
+    x_f, ct_f = xz, c0
+    for t in range(3):
+        As = jnp.asarray(
+            np.stack([prob.A + 1e-2 * (t + 1) * rng.standard_normal(prob.A.shape)
+                      for _ in range(B)]), dt)
+        cr, sr, nr = act(As, lbs, ubs, ct_r)
+        ref = solve_batched(As, lbs, ubs, cr, sr, nr, x_r, v0, reg,
+                            struct=struct, params=params,
+                            x_guess_specified=t > 0)
+        cf, sf, nf = act(As, lbs, ubs, ct_f)
+        fus = jli.solve_core_fused(
+            As, lbs, ubs, cf, sf, nf, x_f, v0, reg, struct=struct,
+            params=params, x_guess_specified=t > 0, v0_specified=False,
+            tile=B, interpret=True)
+        _assert_match(ref, fus, f"step{t}")
+        x_r, ct_r = ref.x, ref.ctr_type
+        x_f, ct_f = fus.x, fus.ctr_type
+
+
+def test_fused_budget_exhaustion():
+    """A tiny factorization budget must terminate with
+    MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED identically."""
+    rng = np.random.default_rng(11)
+    prob = gen.random_inequality_hierarchy(
+        rng, 10, [4, 4], equality_fraction=0.0, tight_fraction=0.9)
+    params = T.ParametersLexLSI(max_number_of_factorizations=2)
+    ref, fus = _run_pair(prob, params, B=2, rng=rng)
+    assert int(T.TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED) in [
+        int(s) for s in np.asarray(ref.status)]
+    _assert_match(ref, fus)
+
+
+def test_fused_rejects_unsupported():
+    rng = np.random.default_rng(13)
+    prob = gen.random_inequality_hierarchy(rng, 8, [3, 3])
+    struct = jli.Structure.of(prob)
+    dt = jnp.float64
+    B, m, n = 2, prob.n_ctr, prob.n_var
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    args = (jnp.zeros((B, m, n), dt), jnp.zeros((B, m), dt),
+            jnp.ones((B, m), dt), c0, s0, n0, xz, v0,
+            jnp.zeros((len(prob.dims),), dt))
+    for bad in (
+        T.ParametersLexLSI(cycling_handling_enabled=True),
+        T.ParametersLexLSI(log_working_set_enabled=True),
+        T.ParametersLexLSI(trace_enabled=True),
+        T.ParametersLexLSI(regularization_type=T.RegularizationType.TIKHONOV),
+    ):
+        with pytest.raises(T.LexLSError):
+            jli.solve_core_fused(
+                *args, struct=struct, params=bad, x_guess_specified=False,
+                v0_specified=False, interpret=True)
