@@ -58,9 +58,11 @@ def main():
     B = int(os.environ.get("LEXLS_BENCH_B", 384 if on_tpu else 8))
     Ts = (2, 14) if on_tpu else (2, 4)
     reps = int(os.environ.get("LEXLS_BENCH_REPS", 7 if on_tpu else 1))
-    # native = natively-batched solver (+ Pallas panels); vmap = vmapped
-    # per-instance solver (XLA)
-    mode = os.environ.get("LEXLS_BENCH_MODE", "vmap")
+    # fused  = whole-solve Pallas kernel (active-set loop in VMEM)
+    # native = natively-batched solver (+ Pallas panel kernels)
+    # vmap   = vmapped per-instance solver (XLA)
+    mode = os.environ.get("LEXLS_BENCH_MODE", "fused")
+    tile = int(os.environ.get("LEXLS_BENCH_TILE", 8))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -92,6 +94,11 @@ def main():
         lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
 
     def solve_b(A, c, s, ns, x, xg):
+        if mode == "fused":
+            return jli.solve_core_fused(
+                A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
+                params=params, x_guess_specified=xg, v0_specified=False,
+                tile=tile, interpret=not on_tpu)
         if mode == "native":
             return jli.solve_core_batched(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,

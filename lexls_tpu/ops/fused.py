@@ -87,34 +87,40 @@ def _gauss_columns(Bpad, Rpad, rank, K):
     ``lexlse.h:431-471``): column j of L is (B_j - sum_{i<j} L_i R_{ij})
     / R_{jj}.  Static unroll over K; columns at or beyond the discovered
     rank are zero.  Bpad (TB, Mk, K), Rpad (TB, K, K), rank (TB, 1)."""
-    cols = []
     acc = Bpad
+    L = jnp.zeros_like(Bpad)
+    jcol = lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
     for j in range(K):
         live = (j < rank).astype(Bpad.dtype)  # (TB, 1)
         rjj = Rpad[:, j, j][:, None]
         rjj_safe = jnp.where(jnp.abs(rjj) > 0, rjj, 1.0)
         lj = (acc[:, :, j] / rjj_safe) * live  # (TB, Mk)
         if j + 1 < K:
-            acc = acc.at[:, :, j + 1 :].add(
-                -lj[:, :, None] * Rpad[:, j, j + 1 :][:, None, :])
-        cols.append(lj)
-    return jnp.stack(cols, axis=2)  # (TB, Mk, K)
+            # masked full-width update (Mosaic has no scatter-add)
+            rrow = Rpad[:, j, :][:, None, :] * (jcol > j).astype(Bpad.dtype)
+            acc = acc - lj[:, :, None] * rrow
+        # masked column write (narrow stacks miscompile in Mosaic)
+        L = jnp.where(jcol == j, lj[:, :, None], L)
+    return L  # (TB, Mk, K)
 
 
 def _backsub(Rpad, seg, rank, K):
     """y with triu(Rpad) y = seg (within-level backward substitution,
     reference ``lexlse.h:1015-1045``); rows at or beyond rank give 0."""
     acc = seg  # (TB, K)
-    ys = [None] * K
+    y = jnp.zeros_like(seg)
+    jcol = lax.broadcasted_iota(jnp.int32, (1, K), 1)
     for j in range(K - 1, -1, -1):
         live = (j < rank).astype(seg.dtype)
         rjj = Rpad[:, j, j][:, None]
         rjj_safe = jnp.where(jnp.abs(rjj) > 0, rjj, 1.0)
         yj = (acc[:, j][:, None] / rjj_safe) * live  # (TB, 1)
         if j > 0:
-            acc = acc.at[:, :j].add(-yj * Rpad[:, :j, j])
-        ys[j] = yj[:, 0]
-    return jnp.stack(ys, axis=1)  # (TB, K)
+            # masked full-width update (Mosaic has no scatter-add)
+            acc = acc - yj * (Rpad[:, :, j] * (jcol < j).astype(seg.dtype))
+        # masked element write (narrow stacks miscompile in Mosaic)
+        y = jnp.where(jcol == j, yj, y)
+    return y  # (TB, K)
 
 
 def _apply_q_rows(S, V, tau_cols, K):
@@ -268,8 +274,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             rloc = lax.broadcasted_iota(jnp.int32, (1, dim, K), 1)
             jcol = lax.broadcasted_iota(jnp.int32, (1, dim, K), 2)
             taus = [hh_lvl[:, j][:, None] for j in range(K)]
-            live_col = jnp.stack(
-                [(t != 0).astype(dtype) for t in taus], axis=2)  # (TB, 1, K)
+            live_col = (hh_lvl[:, :K] != 0).astype(dtype)[:, None, :]
             V = jnp.where(rloc > jcol, Mcols,
                           (rloc == jcol).astype(dtype)) * live_col
 
@@ -331,11 +336,12 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             # all objectives' multipliers by one descending pass per level
             # (transposed form of ``ObjectiveSensitivity``,
             # ``lexlse.h:611-762``), Householder replay inside
-            lam_all = jnp.zeros((TB, p, m), dtype)
+            lam_parts = [None] * p
             rhs_all = jnp.zeros((TB, p, n), dtype)
             jvec = lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
             for k in range(p - 1, -1, -1):
                 if per_level[k] is None:
+                    lam_parts[k] = jnp.zeros((TB, p, dims[k]), dtype)
                     continue
                 fr, dim, K, fc, end, rank, Chot, Rpad, V, taus = per_level[k]
                 rows_d = lax.broadcasted_iota(jnp.int32, (TB, 1, dim), 2)
@@ -352,7 +358,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 seg_k = _apply_q_rows(seg_k, V, taus, K)
                 valid = jvec >= k
                 seg_k = jnp.where(valid, seg_k, 0.0)
-                lam_all = lam_all.at[:, :, fr : fr + dim].set(seg_k)
+                lam_parts[k] = seg_k
                 blockk = lod_ref[:, fr : fr + dim, :n]
                 contrib = _bdot(seg_k, blockk)  # (TB, p, n)
                 # physical column c participates iff its *position* is
@@ -361,7 +367,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 below_fc = pos_ref[:][:, None, :] < fc[:, :, None]
                 rhs_all = jnp.where(valid & below_fc, rhs_all - contrib,
                                     rhs_all)
-            return lam_all
+            # assemble (TB, p, m) in row order (no scatter in Mosaic)
+            return jnp.concatenate(lam_parts, axis=2)
 
         lam_all = lax.cond(
             want_any, run_sweep, lambda: jnp.zeros((TB, p, m), dtype))
