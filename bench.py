@@ -62,7 +62,10 @@ def main():
     # native = natively-batched solver (+ Pallas panel kernels)
     # vmap   = vmapped per-instance solver (XLA)
     mode = os.environ.get("LEXLS_BENCH_MODE", "fused")
-    tile = int(os.environ.get("LEXLS_BENCH_TILE", 8))
+    tile = int(os.environ.get("LEXLS_BENCH_TILE", 32))
+    # Mosaic's default scoped-VMEM budget is ~16 MB; v5e has far more
+    # physical VMEM, and the fused kernel at tile=32 wants ~30 MB
+    vmem_mb = int(os.environ.get("LEXLS_BENCH_VMEM_MB", 100))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -98,7 +101,7 @@ def main():
             return jli.solve_core_fused(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
                 params=params, x_guess_specified=xg, v0_specified=False,
-                tile=tile, interpret=not on_tpu)
+                tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem_mb)
         if mode == "native":
             return jli.solve_core_batched(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
@@ -165,12 +168,31 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(rate / BASELINE_SOLVES_PER_S, 4),
     }))
+    from lexls_tpu.perf import mfu_report
+
+    mfu = mfu_report(rate, n_var, dims, warm_it_sum / warm_count)
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "
           f"worst_warm_iters={int(worst_warm)} mean_cold_iters={cold_it_sum/B:.1f}",
           file=sys.stderr)
+    print(f"# roofline: {mfu['flops_per_solve']/1e6:.2f} MFLOP/solve "
+          f"{mfu['flops_per_s']/1e9:.1f} GFLOP/s "
+          f"mfu={mfu['mfu_vs_bf16_peak']*100:.2f}%-of-bf16-peak "
+          f"{mfu['mfu_vs_f32_vpu']*100:.1f}%-of-f32-VPU "
+          f"hbm_min={mfu['hbm_fraction']*100:.2f}%", file=sys.stderr)
+
+    # secondary BASELINE configs (1: equality l-QR, 2: inequality cold,
+    # 3: deep regularized) — JSON lines to stderr so the driver-captured
+    # stdout stays a single headline record
+    if os.environ.get("LEXLS_BENCH_SECONDARY", "1") != "0":
+        import contextlib
+
+        import bench_extra
+
+        with contextlib.redirect_stdout(sys.stderr):
+            bench_extra.run_all()
 
 
 if __name__ == "__main__":

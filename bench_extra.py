@@ -1,13 +1,18 @@
 """Secondary benchmarks (BASELINE configs beyond the headline metric).
 
-Not run by the driver (which runs bench.py); prints one JSON line per
-config for the record:
-  1. equality-only l-QR at the test_01.dat scale (88 vars, 5 levels) —
-     batched factorize + solve throughput;
+``bench.py`` calls these after the headline metric and routes their JSON
+lines to stderr, so every driver round records all configs:
+  1. equality-only l-QR at the test_01.dat scale (88 vars, 4 general
+     levels) — batched factorize + solve throughput;
+  2. two-sided inequality active-set at the 88-variable scale (the
+     test_numerical_error.dat workload shape; the file itself is absent
+     from the reference snapshot) — cold solves;
   3. deep rank-deficient hierarchy (6 levels) with Tikhonov
      regularization — full active-set solve throughput (cold).
-Same hardened timing protocol as bench.py (scalar fetch, scan-length
-slope).
+Config 4 (warm-started sequence) IS the headline; config 5 (sharded
+multi-host batch) is exercised by __graft_entry__.dryrun_multichip and
+the mesh tests.  Same hardened timing protocol as bench.py (scalar
+fetch, scan-length slope).
 """
 
 import functools
@@ -82,6 +87,57 @@ def bench_equality():
     }))
 
 
+def bench_inequality_cold():
+    """BASELINE config 2: two-sided inequalities, primal active-set, at
+    the 88-variable scale of the (missing) test_numerical_error.dat."""
+    import lexls_tpu.lexlsi as jli
+    from lexls_tpu.oracle import generate as gen
+    from lexls_tpu.parallel import solve_batched
+    from lexls_tpu.types import ParametersLexLSI
+
+    dtype = jnp.float32
+    on_tpu = jax.devices()[0].platform == "tpu"
+    B = 128 if on_tpu else 4
+    rng = np.random.default_rng(0)
+    prob = gen.random_inequality_hierarchy(
+        rng, 88, [44, 44], equality_fraction=0.05, tight_fraction=0.3)
+    struct = jli.Structure.of(prob)
+    m, n = prob.n_ctr, prob.n_var
+    params = ParametersLexLSI(
+        max_number_of_factorizations=150,
+        tol_linear_dependence=1e-7, tol_wrong_sign_lambda=1e-4,
+        tol_correct_sign_lambda=1e-6, tol_feasibility=1e-5)
+
+    ct0, st0, ns0 = jli.initial_activation(prob)
+    c0 = jnp.broadcast_to(jnp.asarray(ct0), (B, m))
+    s0 = jnp.broadcast_to(jnp.asarray(st0), (B, m))
+    n0 = jnp.broadcast_to(jnp.asarray(ns0), (B,))
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, m))
+    reg = jnp.asarray(prob.regularization, dtype)
+    base = jnp.asarray(np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
+                                 for _ in range(B)]), dtype)
+
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def run(base, N):
+        def body(carry, _):
+            Ac, acc = carry
+            st = solve_batched(Ac, lbs, ubs, c0, s0, n0,
+                               jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
+                               reg, struct=struct, params=params)
+            return (Ac + 1e-9 * jnp.sum(st.x), acc + jnp.sum(st.it)), None
+        (Ac, acc), _ = lax.scan(body, (base, jnp.zeros((), dtype)), None, length=N)
+        return acc
+
+    s = _slope(run, (base,), Ns=(1, 3), reps=3)
+    rate = B / max(s, 1e-9)
+    print(json.dumps({
+        "metric": "inequality_cold_solves_per_s",
+        "value": round(rate, 2), "unit": "solves/s",
+        "config": f"B={B} n=88 dims=(44,44) two-sided cold",
+    }))
+
+
 def bench_deep_regularized():
     import lexls_tpu.lexlsi as jli
     from lexls_tpu.oracle import generate as gen
@@ -134,6 +190,11 @@ def bench_deep_regularized():
     }))
 
 
-if __name__ == "__main__":
+def run_all():
     bench_equality()
+    bench_inequality_cold()
     bench_deep_regularized()
+
+
+if __name__ == "__main__":
+    run_all()

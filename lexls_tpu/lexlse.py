@@ -271,33 +271,21 @@ def factorize(
             from . import regularization as _reg
 
             factor = reg_factors[obj]
+            level_rows = lod[fr : fr + K, :]
             if params.variable_regularization_factor != 0.0:
-                # conditioning-driven damping (``lexlse.h:277-312``,
-                # Chiaverini formula): ce = |rhs|^2 / |R^{-1} rhs|^2
-                cols_k = jnp.minimum(first_col + jnp.arange(K, dtype=jnp.int32), n)
-                Rpad = lod[fr : fr + K, :].take(cols_k, axis=1)
-                i_idx = jnp.arange(K)[:, None]
-                j_idx = jnp.arange(K)[None, :]
-                in_rank = (i_idx < rank) & (j_idx < rank) & (j_idx >= i_idx)
-                Rm = jnp.where(in_rank, Rpad,
-                               jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
-                rows_k = jnp.arange(K)
-                rhs_seg = jnp.where(rows_k < rank, lod[fr : fr + K, n], 0)
-                y = jax.scipy.linalg.solve_triangular(Rm, rhs_seg, lower=False)
-                num = jnp.sum(rhs_seg * rhs_seg)
-                den = jnp.sum(y * y)
-                ce = num / jnp.where(den > 0, den, 1.0)
-                eps = jnp.asarray(params.variable_regularization_factor, dtype)
-                damp = jnp.sqrt(jnp.maximum(1.0 - (ce * ce) / (eps * eps), 0.0))
-                factor = jnp.where((rank > 0) & (ce < eps), damp * factor,
-                                   jnp.zeros((), dtype))
+                factor = _reg.variable_factor(
+                    level_rows, params.variable_regularization_factor,
+                    first_col, rank, n, factor)
 
             if track_mu:
                 do_reg = jnp.logical_and(factor != 0.0, rank > 0)
-                new_lod, y_mu = _reg._tikhonov_full(
-                    lod, null_space, fr, K, first_col, rank, col_index,
+                new_rhs, y_mu = _reg._tikhonov_full(
+                    level_rows, null_space, first_col, rank, col_index,
                     factor, n, return_y=True)
-                new_lod = jnp.where(do_reg, new_lod, lod)
+                rows_K = jnp.arange(K)
+                new_lod = lod.at[fr : fr + K, n].set(
+                    jnp.where(do_reg & (rows_K < rank), new_rhs,
+                              level_rows[:, n]))
                 # damped residual: rw = Q [new_rhs_head; 0], residual_mu
                 # segment := rw - (deflated rhs)  (``lexlse.h:1846-1855``)
                 Vw, Ww = _wy_raw(new_lod, hh, fr, dim, K, first_col, n)
@@ -320,12 +308,14 @@ def factorize(
                     jnp.where(do_reg, X_var, X_mu[:, obj]))
                 lod = new_lod
                 null_space = _reg._accumulate_nullspace(
-                    lod, null_space, fr, K, first_col, rank, col_index, n)
+                    lod[fr : fr + K, :], null_space, first_col, rank,
+                    col_index, n)
             else:
-                lod, null_space = _reg.apply_level_regularization(
-                    params, lod, null_space, fr, dim, K, first_col, rank,
+                new_rhs, null_space = _reg.apply_level_regularization(
+                    params, level_rows, null_space, first_col, rank,
                     col_index, factor, n,
                 )
+                lod = lod.at[fr : fr + K, n].set(new_rhs)
 
         # --- Gauss elimination of all lower-priority rows
         # (reference ``lexlse.h:431-471``), padded to static width K.
@@ -461,6 +451,18 @@ def initialize_rhs_regularized(f: LexQR, obj_index: int) -> jax.Array:
     return X
 
 
+def x_mu_rhs(f: LexQR) -> jax.Array:
+    """Debug mirror of the reference's ``get_X_mu_rhs``
+    (``lexlse.h:1641``, filled by ``initialize_rhs`` at :1923-1925):
+    column j holds the seed of objective j's regularized-multiplier
+    back-propagation.  Only meaningful after a TIKHONOV_1 factorization
+    (``factorize`` with that regularization type)."""
+    if f.X_mu.size == 0:
+        raise ValueError("x_mu_rhs requires a TIKHONOV_1 factorization")
+    cols = [initialize_rhs_regularized(f, j) for j in range(len(f.dims))]
+    return jnp.stack(cols, axis=1)
+
+
 def objective_sensitivity_regularized(
     f: LexQR, obj_index: int, A_fixed_cols: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -516,6 +518,7 @@ def factorize_fast(
     params: ParametersLexLSE = ParametersLexLSE(),
     fixed_mask: Optional[jax.Array] = None,
     fixed_val: Optional[jax.Array] = None,
+    reg_factors: Optional[jax.Array] = None,
 ) -> LexQR:
     """l-QR with a *virtual* column permutation — the TPU hot path.
 
@@ -532,11 +535,18 @@ def factorize_fast(
     (``lexlse.h:205-211``): among equal column norms the smallest
     *position* wins (realized as argmin of position over the argmax set).
 
-    Regularization is not supported here (the active-set hot loop runs
-    unregularized); :func:`factorize` remains the general path.
+    Regularization: every variant except TIKHONOV_1 is supported — the
+    regularizers only read the level rows in *position* space (one
+    gather through ``col_at`` per level) and write the RHS column, which
+    both layouts share.  TIKHONOV_1's regularized-multiplier machinery
+    (X_mu / damped residuals) stays on :func:`factorize`.
     """
-    if params.regularization_type != RegularizationType.NONE:
-        raise ValueError("factorize_fast does not support regularization")
+    from .regularization import FAST_TIER_TYPES
+
+    if params.regularization_type not in FAST_TIER_TYPES:
+        raise ValueError(
+            f"factorize_fast does not support {params.regularization_type!r}"
+            " (use factorize)")
     m, n = A.shape
     dtype = A.dtype
     n_obj = len(dims)
@@ -559,6 +569,11 @@ def factorize_fast(
     rank_row = jnp.zeros((n,), jnp.int32)
     phys = jnp.arange(n, dtype=jnp.int32)
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    regularize = params.regularization_type != RegularizationType.NONE
+    null_space = jnp.zeros((n, n + 1), dtype)
+    if reg_factors is None:
+        reg_factors = jnp.zeros((n_obj,), dtype)
 
     ranks = []
     first_cols = []
@@ -660,6 +675,34 @@ def factorize_fast(
         rank = col_index - first_col
         ranks.append(rank)
 
+        # --- regularization of this level's RHS segment (before Gauss):
+        # one position-space gather of the level rows through ``col_at``;
+        # only the (shared) RHS column is written back.
+        if regularize:
+            from . import regularization as _reg
+
+            factor = reg_factors[obj]
+            level_rows = jnp.concatenate(
+                [lod[fr : fr + K, :n].take(col_at, axis=1),
+                 lod[fr : fr + K, n:]], axis=1)
+            if params.variable_regularization_factor != 0.0:
+                factor = _reg.variable_factor(
+                    level_rows, params.variable_regularization_factor,
+                    first_col, rank, n, factor)
+            # the accumulated nullspace is stored with PHYSICAL columns
+            # (later pivoting reorders remaining positions, which the
+            # physical tier realizes by swapping its columns); round-trip
+            # it through the current position layout for the regularizer
+            ns_pos = jnp.concatenate(
+                [null_space[:, :n].take(col_at, axis=1), null_space[:, n:]],
+                axis=1)
+            new_rhs, ns_pos = _reg.apply_level_regularization(
+                params, level_rows, ns_pos, first_col, rank,
+                col_index, factor, n)
+            null_space = jnp.concatenate(
+                [ns_pos[:, :n].take(pos, axis=1), ns_pos[:, n:]], axis=1)
+            lod = lod.at[fr : fr + K, n].set(new_rhs)
+
         # --- Gauss elimination of all lower-priority rows, in virtual
         # layout (``lexlse.h:431-471``): gather R by position, solve on
         # the right, subtract L @ [T | rhs], write L back by position.
@@ -696,13 +739,17 @@ def factorize_fast(
     # --- physicalize: position q holds column col_at[q]
     lod_phys = jnp.concatenate(
         [lod[:, :n].take(col_at, axis=1), lod[:, n:]], axis=1)
+    if regularize:
+        null_space = jnp.concatenate(
+            [null_space[:, :n].take(col_at, axis=1), null_space[:, n:]],
+            axis=1)
 
     return LexQR(
         lod=lod_phys, hh=hh, perm=col_at, rank_row=rank_row,
         ranks=jnp.stack(ranks) if ranks else jnp.zeros((0,), jnp.int32),
         first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
         total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
-        null_space=jnp.zeros((n, n + 1), dtype),
+        null_space=null_space,
         X_mu=jnp.zeros((0, 0), dtype), residual_mu=jnp.zeros((0,), dtype),
         reg_factors=jnp.zeros((0,), dtype),
         dims=tuple(dims), n_var=n,

@@ -173,7 +173,7 @@ class Structure:
         "it", "n_act", "n_deact", "n_fact", "status",
         "cyc_counter", "cyc_prev_op", "cyc_prev_row", "cyc_prev_type",
         "log_obj", "log_ctr", "log_type", "log_value", "log_rank",
-        "log_cycling", "log_len",
+        "log_cycling", "log_len", "log_overflow",
         "trace_x", "trace_v", "trace_dx", "trace_dv", "trace_alpha",
         "trace_op", "trace_row",
     ],
@@ -208,6 +208,7 @@ class LexLSIState:
     log_rank: jax.Array
     log_cycling: jax.Array   # (cap,) bool
     log_len: jax.Array
+    log_overflow: jax.Array  # () bool: an entry was dropped (capacity hit)
     trace_x: jax.Array       # (tcap, n) per-iteration snapshots (tcap=0 when off)
     trace_v: jax.Array       # (tcap, m)
     trace_dx: jax.Array      # (tcap, n)
@@ -254,14 +255,17 @@ def _factorize(A, lb, ub, ctr_type, struct: Structure, params: ParametersLexLSI,
 def _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct: Structure,
                       params: ParametersLexLSI,
                       reg: Optional[jax.Array]) -> lexlse.LexQR:
+    from .regularization import FAST_TIER_TYPES
+
     lexlse_params = params.lexlse_parameters()
-    if params.regularization_type == RegularizationType.NONE:
-        # hot path: virtual-permutation factorization (no reg support)
+    reg_g = None if reg is None else (reg[1:] if struct.simple_bounds else reg)
+    if params.regularization_type in FAST_TIER_TYPES:
+        # hot path: virtual-permutation factorization (all regularization
+        # variants except TIKHONOV_1 run here too)
         return lexlse.factorize_fast(
             Ag, bg, struct.lexlse_dims, lexlse_params,
-            fixed_mask=fixed_mask, fixed_val=fixed_val,
+            fixed_mask=fixed_mask, fixed_val=fixed_val, reg_factors=reg_g,
         )
-    reg_g = None if reg is None else (reg[1:] if struct.simple_bounds else reg)
     return lexlse.factorize(
         Ag, bg, struct.lexlse_dims, lexlse_params,
         fixed_mask=fixed_mask, fixed_val=fixed_val, reg_factors=reg_g,
@@ -538,7 +542,7 @@ def _initial_state(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
         log_obj=jnp.zeros((cap,), jnp.int32), log_ctr=jnp.zeros((cap,), jnp.int32),
         log_type=jnp.zeros((cap,), jnp.int32), log_value=jnp.zeros((cap,), dtype),
         log_rank=jnp.zeros((cap,), jnp.int32), log_cycling=jnp.zeros((cap,), bool),
-        log_len=jnp.zeros((), jnp.int32),
+        log_len=jnp.zeros((), jnp.int32), log_overflow=jnp.zeros((), bool),
         trace_x=jnp.zeros((tcap, n), dtype), trace_v=jnp.zeros((tcap, m), dtype),
         trace_dx=jnp.zeros((tcap, n), dtype), trace_dv=jnp.zeros((tcap, m), dtype),
         trace_alpha=jnp.zeros((tcap,), dtype),
@@ -621,8 +625,14 @@ def _verify_with_f(s: LexLSIState, A, Ag, f: lexlse.LexQR,
     log_obj, log_ctr, log_type = s.log_obj, s.log_ctr, s.log_type
     log_value, log_rank, log_len = s.log_value, s.log_rank, s.log_len
     log_cycling = s.log_cycling
+    log_overflow = s.log_overflow
     if params.log_working_set_enabled:
-        do_log = blocking | do_remove
+        want_log = blocking | do_remove
+        # a full log DROPS the entry and raises the overflow flag
+        # (previously the last entry was silently overwritten)
+        log_overflow = log_overflow | (
+            want_log & (log_len >= s.log_obj.shape[0]))
+        do_log = want_log & (log_len < s.log_obj.shape[0])
         row = jnp.where(blocking, brow, rrow)
         lvl = jnp.asarray(struct.level_of_row)[row]
         first_row = jnp.asarray(np.asarray(struct.first_row, np.int32))[lvl]
@@ -634,7 +644,8 @@ def _verify_with_f(s: LexLSIState, A, Ag, f: lexlse.LexQR,
         log_type = jnp.where(do_log, log_type.at[idx].set(entry_type.astype(jnp.int32)), log_type)
         log_value = jnp.where(do_log, log_value.at[idx].set(entry_val), log_value)
         log_rank = jnp.where(do_log, log_rank.at[idx].set(f.total_rank), log_rank)
-        log_len = log_len + do_log.astype(jnp.int32)
+        log_len = jnp.minimum(log_len + do_log.astype(jnp.int32),
+                              s.log_obj.shape[0])
 
     # --- step (``lexlsi.h:1243-1250``)
     take = alpha > 0.0
@@ -703,6 +714,7 @@ def _verify_with_f(s: LexLSIState, A, Ag, f: lexlse.LexQR,
         cyc_prev_row=cyc_prev_row, cyc_prev_type=cyc_prev_type,
         log_obj=log_obj, log_ctr=log_ctr, log_type=log_type, log_value=log_value,
         log_rank=log_rank, log_cycling=log_cycling, log_len=log_len,
+        log_overflow=log_overflow,
         trace_x=trace[0], trace_v=trace[1], trace_dx=trace[2], trace_dv=trace[3],
         trace_alpha=trace[4], trace_op=trace[5], trace_row=trace[6],
     )
@@ -825,13 +837,13 @@ def solve_core_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
-                     "tile", "interpret"),
+                     "tile", "interpret", "vmem_limit_mb"),
 )
 def solve_core_fused(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
     struct: Structure, params: ParametersLexLSI,
     x_guess_specified: bool, v0_specified: bool,
-    tile: int = 8, interpret: bool = False,
+    tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
 ) -> LexLSIState:
     """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
     active-set loop in one Pallas program per batch tile with all state
@@ -875,7 +887,8 @@ def solve_core_fused(
             tol_correct=params.tol_correct_sign_lambda,
             max_fact=params.max_number_of_factorizations,
             deact_first=params.deactivate_first_wrong_sign,
-            prio=prio, elig=elig, tile=tile, interpret=interpret)
+            prio=prio, elig=elig, tile=tile, interpret=interpret,
+            vmem_limit_mb=vmem_limit_mb)
 
         status = jnp.where(
             status[:, 0] == int(TerminationStatus.UNKNOWN),
@@ -974,6 +987,7 @@ class LexLSIResult:
     n_factorizations: int
     cycling_counter: int
     working_set_log: list
+    log_overflow: bool
     lb: np.ndarray
     ub: np.ndarray
     state: LexLSIState
@@ -995,6 +1009,37 @@ class LexLSIResult:
             "alpha": np.asarray(s.trace_alpha[:k]),
             "op": np.asarray(s.trace_op[:k]), "row": np.asarray(s.trace_row[:k]),
         }
+
+    def export_trace(self, path: str, append: bool = False) -> None:
+        """Write the per-iteration trace as a MATLAB-readable script —
+        the file-export analogue of the reference's ``outputStuff``
+        (``lexlsi.h:1272-1379``): per iteration t it emits
+        ``nFactorizations_(t)``, ``operation_(t)``, ``stepLength_(t)``,
+        and the column vectors ``x_(:,t)``, ``v_(:,t)``, ``dx_(:,t)``,
+        ``dv_(:,t)``; final counters at the top as comments."""
+        tr = self.trace()
+        k = tr["x"].shape[0]
+
+        def vec(v):
+            return "[ " + "; ".join(f"{float(a):.15e}" for a in v) + " ];"
+
+        with open(path, "a" if append else "w") as fh:
+            fh.write("% lexls_tpu solver trace\n")
+            fh.write(f"% status          = {int(self.status)}\n")
+            fh.write(f"% nIterations     = {self.n_iterations}\n")
+            fh.write(f"% nFactorizations = {self.n_factorizations}\n")
+            fh.write(f"% nActivations    = {self.n_activations}\n")
+            fh.write(f"% nDeactivations  = {self.n_deactivations}\n")
+            fh.write(f"% cycling counter = {self.cycling_counter}\n")
+            for t in range(k):
+                fh.write("% ==============================================\n")
+                fh.write(f"operation_({t + 1}) = {int(tr['op'][t])};\n")
+                fh.write(f"ctr_row_({t + 1}) = {int(tr['row'][t])};\n")
+                fh.write(f"stepLength_({t + 1}) = {float(tr['alpha'][t]):.15e};\n")
+                fh.write(f"x_(:,{t + 1}) = {vec(tr['x'][t])}\n")
+                fh.write(f"v_(:,{t + 1}) = {vec(tr['v'][t])}\n")
+                fh.write(f"dx_(:,{t + 1}) = {vec(tr['dx'][t])}\n")
+                fh.write(f"dv_(:,{t + 1}) = {vec(tr['dv'][t])}\n")
 
 
 def solve(
@@ -1039,6 +1084,7 @@ def solve(
         n_iterations=int(s.it), n_activations=int(s.n_act),
         n_deactivations=int(s.n_deact), n_factorizations=int(s.n_fact),
         cycling_counter=int(s.cyc_counter), working_set_log=log,
+        log_overflow=bool(s.log_overflow),
         lb=np.asarray(s.lb), ub=np.asarray(s.ub), state=s,
     )
 

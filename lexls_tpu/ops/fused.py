@@ -66,6 +66,13 @@ def _bdot(a, b):
         [jnp.dot(a[t], b[t], precision=_HIGH) for t in range(a.shape[0])])
 
 
+def _chot(pos, fc, K, dtype):
+    """One-hot position->column map: Chot[t, j, c] = (pos[t,c] == fc+j).
+    Contractions with it replace every per-instance gather/scatter."""
+    jj = lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    return (pos[:, None, :] == (fc[:, :, None] + jj)).astype(dtype)
+
+
 def _is_active(t):
     return (t == int(CtrType.ACTIVE_LB)) | (t == int(CtrType.ACTIVE_UB)) | (
         t == int(CtrType.ACTIVE_EQ))
@@ -87,21 +94,21 @@ def _gauss_columns(Bpad, Rpad, rank, K):
     ``lexlse.h:431-471``): column j of L is (B_j - sum_{i<j} L_i R_{ij})
     / R_{jj}.  Static unroll over K; columns at or beyond the discovered
     rank are zero.  Bpad (TB, Mk, K), Rpad (TB, K, K), rank (TB, 1)."""
-    acc = Bpad
-    L = jnp.zeros_like(Bpad)
+    # single working buffer: column j is finalized to L's column at step
+    # j while columns > j still carry partially-eliminated B (keeps the
+    # unrolled chain at one live (TB, Mk, K) value)
+    W = Bpad
     jcol = lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
     for j in range(K):
         live = (j < rank).astype(Bpad.dtype)  # (TB, 1)
         rjj = Rpad[:, j, j][:, None]
         rjj_safe = jnp.where(jnp.abs(rjj) > 0, rjj, 1.0)
-        lj = (acc[:, :, j] / rjj_safe) * live  # (TB, Mk)
-        if j + 1 < K:
-            # masked full-width update (Mosaic has no scatter-add)
-            rrow = Rpad[:, j, :][:, None, :] * (jcol > j).astype(Bpad.dtype)
-            acc = acc - lj[:, :, None] * rrow
-        # masked column write (narrow stacks miscompile in Mosaic)
-        L = jnp.where(jcol == j, lj[:, :, None], L)
-    return L  # (TB, Mk, K)
+        lj = (W[:, :, j] / rjj_safe) * live  # (TB, Mk)
+        # trailing elimination (cols > j) and L write (col == j) fused;
+        # masked full-width update (Mosaic has no scatter-add)
+        rrow = Rpad[:, j, :][:, None, :] * (jcol > j).astype(Bpad.dtype)
+        W = jnp.where(jcol == j, lj[:, :, None], W - lj[:, :, None] * rrow)
+    return W  # (TB, Mk, K) = L
 
 
 def _backsub(Rpad, seg, rank, K):
@@ -123,15 +130,16 @@ def _backsub(Rpad, seg, rank, K):
     return y  # (TB, K)
 
 
-def _apply_q_rows(S, V, tau_cols, K):
+def _apply_q_rows(S, VT, tau_lvl, K):
     """S <- S Q^T row-form: apply Q = H_0 ... H_{K-1} to each row of S
     (TB, r, dim) by sequential Householder replay, j = K-1 .. 0 —
     the reference's ``applyOnTheLeft(householderSequence(...))`` order
-    (``lexlse.h:550-552``).  V (TB, dim, K), tau_cols list of (TB, 1)."""
+    (``lexlse.h:550-552``).  VT (TB, K, dim): row j holds reflection
+    vector v_j (zero when the step is dead); tau_lvl (TB, >=K)."""
     for j in range(K - 1, -1, -1):
-        vj = V[:, :, j]  # (TB, dim)
+        vj = VT[:, j, :]  # (TB, dim)
         coef = jnp.sum(S * vj[:, None, :], axis=2)  # (TB, r)
-        S = S - tau_cols[j][:, :, None] * coef[:, :, None] * vj[:, None, :]
+        S = S - tau_lvl[:, j][:, None, None] * coef[:, :, None] * vj[:, None, :]
     return S
 
 
@@ -172,7 +180,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                   x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
                   it_o, na_o, nd_o, nf_o, status_o,
                   lod_ref, hh_ref, pos_ref, col_at_ref, rr_ref, cn_ref,
-                  ci_ref, stop_ref):
+                  ci_ref, stop_ref, *v_refs):
     """One batch tile's full active-set solve; ``ctx`` carries the static
     problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
     the lambda-sweep visit priorities / eligibility per objective."""
@@ -239,7 +247,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             stop_ref[:] = jnp.zeros((TB, 1), jnp.int32)
             hh_lvl0 = jnp.zeros((TB, dim), dtype)
 
-            def panel_step(counter, hh_lvl, fr=fr, dim=dim):
+            def panel_step(counter, hh_lvl, fr=fr, dim=dim, K=K, k=k):
                 out = _panel_step_core(
                     counter, lod_ref[:, fr : fr + dim, :], cn_ref[:],
                     pos_ref[:], col_at_ref[:], ci_ref[:], stop_ref[:],
@@ -251,6 +259,13 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 ci_ref[:] = out[4]
                 stop_ref[:] = out[5]
                 rr_ref[:] = out[6]
+
+                # stash the reflection vector for the lambda replay (the
+                # sweep would otherwise re-gather it through Chot)
+                @pl.when(counter < K)
+                def _():
+                    v_refs[k][:, pl.ds(counter, 1), :] = out[8][:, None, :]
+
                 return out[7]
 
             hh_lvl = lax.fori_loop(0, dim, panel_step, hh_lvl0)
@@ -260,31 +275,21 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             rank = end - fc
 
             # one-hot position->column map of this level's K pivot slots:
-            # Chot[t, j, c] = (pos[t, c] == fc + j); replaces every gather
-            jj = lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-            Chot = (pos_ref[:][:, None, :] == (fc[:, :, None] + jj)).astype(dtype)
-
-            rows_lvl = lod_ref[:, fr : fr + K, :n]  # (TB, K, n)
+            # Chot[t, j, c] = (pos[t, c] == fc + j); replaces every gather.
+            # Rebuilt on use (positions < end are frozen once the level's
+            # panel is done) — keeping it live across phases costs VMEM.
+            Chot = _chot(pos_ref[:], fc, K, dtype)
             ChotT = jnp.swapaxes(Chot, 1, 2)        # (TB, n, K)
+            rows_lvl = lod_ref[:, fr : fr + K, :n]  # (TB, K, n)
             Rpad = _bdot(rows_lvl, ChotT)           # (TB, K, K)
 
-            # WY-ingredient V for the lambda replay (``_wy_raw`` masks):
-            # unit-lower-trapezoid of reflection vectors, dead columns 0
-            Mcols = _bdot(lod_ref[:, fr : fr + dim, :n], ChotT)  # (TB,dim,K)
-            rloc = lax.broadcasted_iota(jnp.int32, (1, dim, K), 1)
-            jcol = lax.broadcasted_iota(jnp.int32, (1, dim, K), 2)
-            taus = [hh_lvl[:, j][:, None] for j in range(K)]
-            live_col = (hh_lvl[:, :K] != 0).astype(dtype)[:, None, :]
-            V = jnp.where(rloc > jcol, Mcols,
-                          (rloc == jcol).astype(dtype)) * live_col
+            per_level.append((fr, dim, K, fc, end, rank, Rpad, hh_lvl))
 
-            per_level.append((fr, dim, K, fc, end, rank, Chot, Rpad, V, taus))
-
-            # ---- Gauss elimination of all lower-priority rows
+            # ---- Gauss elimination of all lower-priority rows, in row
+            # chunks: the column sweep for L is row-independent given
+            # Rpad, so chunking bounds the live (TB, rows, n+1)
+            # temporaries (VMEM peak) without changing the math
             if k < p - 1:
-                below = lod_ref[:, fr + dim :, :]  # (TB, Mk, n+1)
-                Bpad = _bdot(below[:, :, :n], ChotT)  # (TB, Mk, K)
-                Lm = _gauss_columns(Bpad, Rpad, rank, K)
                 jrow = lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
                 Up = lod_ref[:, fr : fr + K, :]
                 Up = Up * (jrow < rank[:, :, None]).astype(dtype)
@@ -292,13 +297,21 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                     [(pos_ref[:] >= end).astype(dtype),
                      jnp.ones((TB, 1), dtype)], axis=1)
                 Up = Up * trail[:, None, :]
-                new_below = below - _bdot(Lm, Up)
-                Lscat = _bdot(Lm, Chot)  # (TB, Mk, n)
                 store = (pos_ref[:] >= fc) & (pos_ref[:] < end)
-                new_below = jnp.concatenate(
-                    [jnp.where(store[:, None, :], Lscat, new_below[:, :, :n]),
-                     new_below[:, :, n:]], axis=2)
-                lod_ref[:, fr + dim :, :] = new_below
+                Mk = m - (fr + dim)
+                CHUNK = 128
+                for r0 in range(0, Mk, CHUNK):
+                    r1 = min(r0 + CHUNK, Mk)
+                    below = lod_ref[:, fr + dim + r0 : fr + dim + r1, :]
+                    Bpad = _bdot(below[:, :, :n], ChotT)  # (TB, rc, K)
+                    Lm = _gauss_columns(Bpad, Rpad, rank, K)
+                    new_below = below - _bdot(Lm, Up)
+                    Lscat = _bdot(Lm, Chot)  # (TB, rc, n)
+                    new_below = jnp.concatenate(
+                        [jnp.where(store[:, None, :], Lscat,
+                                   new_below[:, :, :n]),
+                         new_below[:, :, n:]], axis=2)
+                    lod_ref[:, fr + dim + r0 : fr + dim + r1, :] = new_below
 
         # ---- basic solve: per-level backward substitution in variable
         # space (free variables = 0; ``lexlse.h:1015-1045``)
@@ -306,21 +319,22 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         for k in range(p - 1, -1, -1):
             if per_level[k] is None:
                 continue
-            fr, dim, K, fc, end, rank, Chot, Rpad, V, taus = per_level[k]
+            fr, dim, K, fc, end, rank, Rpad, hh_lvl = per_level[k]
             trail_mask = (pos_ref[:] >= end).astype(dtype)
             xt = x_var * trail_mask
             rows_lvl = lod_ref[:, fr : fr + K, :n]
-            contrib = _bdot(rows_lvl, xt[:, :, None])[:, :, 0]  # (TB, K)
+            contrib = jnp.sum(rows_lvl * xt[:, None, :], axis=2)  # (TB, K)
             jr = lax.broadcasted_iota(jnp.int32, (1, K), 1)
             seg = (lod_ref[:, fr : fr + K, n] - contrib) * (
                 jr < rank).astype(dtype)
             y = _backsub(Rpad, seg, rank, K)
-            x_var = x_var + _bdot(y[:, None, :], Chot)[:, 0, :]
+            x_var = x_var + jnp.sum(
+                y[:, :, None] * _chot(pos_ref[:], fc, K, dtype), axis=1)
 
         # ---- form the step (``objective.h:288-338``)
         x_star = x_var
         dx = x_star - x_o[:]
-        Adx = _bdot(A_in[:], dx[:, :, None])[:, :, 0]
+        Adx = jnp.sum(A_in[:] * dx[:, None, :], axis=2)
         dv = -v_o[:] + jnp.where(active, Ax_o[:] + Adx - rhs_row, 0.0)
 
         # ---- ratio test over inactive constraints
@@ -343,11 +357,15 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 if per_level[k] is None:
                     lam_parts[k] = jnp.zeros((TB, p, dims[k]), dtype)
                     continue
-                fr, dim, K, fc, end, rank, Chot, Rpad, V, taus = per_level[k]
+                fr, dim, K, fc, end, rank, Rpad, hh_lvl = per_level[k]
+                Chot = _chot(pos_ref[:], fc, K, dtype)
+                # reflection vectors stashed during the panel loop
+                VT = v_refs[k][:, :K, :dim]  # (TB, K, dim)
                 rows_d = lax.broadcasted_iota(jnp.int32, (TB, 1, dim), 2)
                 rhs_seg = lod_ref[:, fr : fr + dim, n]  # (TB, dim)
                 seg_top = jnp.where(rows_d[:, 0, :] >= rank, -rhs_seg, 0.0)
-                Z = _bdot(rhs_all, jnp.swapaxes(Chot, 1, 2))  # (TB, p, K)
+                Z = jnp.sum(rhs_all[:, :, None, :] * Chot[:, None, :, :],
+                            axis=3)  # (TB, p, K)
                 if dim > K:
                     segs = jnp.concatenate(
                         [Z, jnp.zeros((TB, p, dim - K), dtype)], axis=2)
@@ -355,12 +373,13 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                     segs = Z
                 segs = jnp.where(rows_d < rank[:, :, None], segs, 0.0)
                 seg_k = jnp.where(jvec == k, seg_top[:, None, :], segs)
-                seg_k = _apply_q_rows(seg_k, V, taus, K)
+                seg_k = _apply_q_rows(seg_k, VT, hh_lvl, K)
                 valid = jvec >= k
                 seg_k = jnp.where(valid, seg_k, 0.0)
                 lam_parts[k] = seg_k
                 blockk = lod_ref[:, fr : fr + dim, :n]
-                contrib = _bdot(seg_k, blockk)  # (TB, p, n)
+                contrib = jnp.sum(seg_k[:, :, :, None] * blockk[:, None, :, :],
+                                  axis=2)  # (TB, p, n)
                 # physical column c participates iff its *position* is
                 # below this level's first pivot slot (the lod here is in
                 # the virtual frame, unlike the physicalized LexQR.lod)
@@ -471,13 +490,14 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     jax.jit,
     static_argnames=("dims", "tol_ld", "tol_feas", "tol_wrong", "tol_correct",
                      "max_fact", "deact_first", "prio", "elig", "tile",
-                     "interpret"),
+                     "interpret", "vmem_limit_mb"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
     *, dims: Tuple[int, ...], tol_ld: float, tol_feas: float,
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
     prio, elig, tile: int = 8, interpret: bool = False,
+    vmem_limit_mb: int = 0,
 ):
     """Run the fused active-set loop on a batch (leading axis B).
 
@@ -545,8 +565,17 @@ def fused_active_set(
         pltpu.VMEM((tile, n), dtype),          # col norms
         pltpu.VMEM((tile, 1), jnp.int32),      # col_index
         pltpu.VMEM((tile, 1), jnp.int32),      # stopped
+    ] + [
+        # per-level reflection vectors V^T (row j = v_j), filled by the
+        # panel loop, consumed by the lambda replay
+        pltpu.VMEM((tile, max(min(d, n), 1), max(d, 1)), dtype)
+        for d in dims
     ]
 
+    kwargs = {}
+    if vmem_limit_mb and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_fused_kernel, ctx),
         grid=grid,
@@ -555,5 +584,6 @@ def fused_active_set(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )(A, lb, ub, ctr_type, stamp, next_stamp[:, None], x, v, Ax,
       n_fact[:, None], prio_arr, elig_arr)

@@ -109,14 +109,19 @@ def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
     trailing = jnp.concatenate(
         [(pos > ci).astype(dtype), jnp.ones((TB, 1), dtype)], axis=1)
     wmask = w * trailing
-    block = block - (tau * acc)[:, :, None] * u[:, :, None] * wmask[:, None, :]
 
     # pivot column: beta at the diagonal, essentials below
     newcol = jnp.where(rows == counter, beta,
                        jnp.where(rows > counter, essential, colv))
     newcol = jnp.where(accept, newcol, colv)
     hot_p1 = jnp.concatenate([piv_hot, jnp.zeros((TB, 1), dtype)], axis=1)
-    block = block * (1.0 - hot_p1)[:, None, :] + newcol[:, :, None] * hot_p1[:, None, :]
+    # single fused pass: pivot-column lanes take newcol, every other lane
+    # takes the reflection update (wmask is 0 on the pivot column, so the
+    # two writes never overlap — this is the same arithmetic per lane as
+    # updating then overwriting, in one sweep over the block)
+    block = jnp.where(
+        hot_p1[:, None, :] > 0, newcol[:, :, None],
+        block - (tau * acc)[:, :, None] * u[:, :, None] * wmask[:, None, :])
 
     hh = jnp.where((rows == counter) & accept, tau, hh)
     rank_row = jnp.where(accept & (qpos == ci), fr + counter, rank_row)
@@ -127,7 +132,11 @@ def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
     col_norms = jnp.where(accept, col_norms - dd, col_norms)
 
     ci = ci + accept.astype(jnp.int32)
-    return block, col_norms, pos, col_at, ci, stopped, rank_row, hh
+    # u_live: this step's reflection vector, zeroed when the step is dead
+    # (tau == 0 or rejected) — exactly column `counter` of the WY factor V
+    # (lexlse._wy_raw masks); consumers that don't need it drop it.
+    u_live = u * (accept & (tau != 0)).astype(dtype)
+    return block, col_norms, pos, col_at, ci, stopped, rank_row, hh, u_live
 
 
 def _panel_loop(block, pos, col_at, col_index, rank_row, *, fr, dim, n, tol):
@@ -140,7 +149,8 @@ def _panel_loop(block, pos, col_at, col_index, rank_row, *, fr, dim, n, tol):
     ci = col_index[:, None]
 
     def step(counter, carry):
-        return _panel_step_core(counter, *carry, fr=fr, dim=dim, n=n, tol=tol)
+        return _panel_step_core(counter, *carry, fr=fr, dim=dim, n=n,
+                                tol=tol)[:8]
 
     carry = (block, col_norms, pos, col_at, ci, stopped, rank_row, hh)
     carry = lax.fori_loop(0, dim, step, carry)

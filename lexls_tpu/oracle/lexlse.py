@@ -393,8 +393,6 @@ def _initialize_rhs_regularized(f: LexQR, obj_index: int) -> np.ndarray:
     mu2 = float(f.reg_factors[obj_index]) ** 2
     # variable -> position order, scaled
     X = -mu2 * f.X_mu[f.perm_cols, obj_index]
-    if f.X_mu_rhs is not None:
-        f.X_mu_rhs[:, obj_index] = X  # debug mirror of the MEX output
     last_col = f.first_col[obj_index] + f.ranks[obj_index] - 1
     for k in range(obj_index + 1):
         fr_k, fc_k, r_k = f.first_row[k], f.first_col[k], f.ranks[k]
@@ -408,6 +406,11 @@ def _initialize_rhs_regularized(f: LexQR, obj_index: int) -> np.ndarray:
         if r_k > 0:
             R = np.triu(f.lod[fr_k : fr_k + r_k, fc_k : fc_k + r_k])
             X[fc_k : fc_k + r_k] = np.linalg.solve(R.T, X[fc_k : fc_k + r_k])
+    if f.X_mu_rhs is not None:
+        # debug mirror of the MEX output: the reference's X_mu_rhs column
+        # is a view mutated by the substitutions above, so the exported
+        # state is the POST-substitution vector (lexlse.h:1925-1957)
+        f.X_mu_rhs[:, obj_index] = X
     return X
 
 

@@ -118,10 +118,35 @@ def make_host_mesh(n_hosts: int, chips_per_host: int,
     communicates nothing, and the metric reductions ride ICI within a
     host before crossing DCN (XLA orders the collective accordingly when
     the axis tuple is ("dcn", "ici")).
+
+    Multi-process recipe (a real pod slice, one process per host)::
+
+        jax.distributed.initialize()   # coordinator from TPU metadata
+        mesh = make_host_mesh(jax.process_count(),
+                              jax.local_device_count())
+        fn = make_sharded_solver_2d(mesh, struct, params)
+        # feed per-process shards via jax.make_array_from_process_local_data
+
+    In a multi-process run ``jax.devices()`` spans every host and
+    ``mesh_utils.create_hybrid_device_mesh`` places the "dcn" axis
+    across hosts (DCN) and "ici" within each (ICI ring); single-process
+    callers (tests, the virtual-CPU dryrun) get the same logical layout
+    from ``create_device_mesh`` over local devices.
     """
-    if devices is None:
-        devices = np.asarray(jax.devices()[: n_hosts * chips_per_host])
-    return Mesh(devices.reshape(n_hosts, chips_per_host), ("dcn", "ici"))
+    from jax.experimental import mesh_utils
+
+    n = n_hosts * chips_per_host
+    if devices is not None:
+        dev_grid = np.asarray(devices).reshape(n_hosts, chips_per_host)
+    elif jax.process_count() > 1:
+        dev_grid = mesh_utils.create_hybrid_device_mesh(
+            (1, chips_per_host), (n_hosts, 1),
+            devices=jax.devices()[:n])
+    else:
+        dev_grid = mesh_utils.create_device_mesh(
+            (n_hosts, chips_per_host), devices=jax.devices()[:n],
+            contiguous_submeshes=False)
+    return Mesh(dev_grid, ("dcn", "ici"))
 
 
 def make_sharded_solver_2d(
@@ -172,7 +197,7 @@ def _state_structure(struct: Structure, params: ParametersLexLSI):
         it=0, n_act=0, n_deact=0, n_fact=0, status=0,
         cyc_counter=0, cyc_prev_op=0, cyc_prev_row=0, cyc_prev_type=0,
         log_obj=0, log_ctr=0, log_type=0, log_value=0, log_rank=0,
-        log_cycling=0, log_len=0,
+        log_cycling=0, log_len=0, log_overflow=0,
         trace_x=0, trace_v=0, trace_dx=0, trace_dv=0, trace_alpha=0,
         trace_op=0, trace_row=0,
     )

@@ -9,6 +9,15 @@ nullspace basis S_{k-1}).
 Static-shape strategy: subproblems are padded to n x n with identity
 extension and solved with one Cholesky (or CGLS with a fixed trip count);
 masks realize the data-dependent rank/remaining-column split.
+
+Interface note: every function operates on ``level_rows`` — the (K, n+1)
+POSITION-SPACE view of the level's first K rows ([R | T | rhs] plus
+Householder essentials below the staircase).  The physical-swap
+factorization passes its LOD slice directly (its columns are already in
+position order); the virtual-permutation tier gathers the view once per
+level through ``col_at`` — regularization only ever *writes* the RHS
+column, which both layouts share, so the permutation never needs
+inverting on the way back.
 """
 
 from __future__ import annotations
@@ -21,36 +30,69 @@ from jax import lax
 
 from .types import ParametersLexLSE, RegularizationType
 
+#: variants supported by the virtual-permutation fast tier (all except
+#: TIKHONOV_1, whose regularized-multiplier machinery — X_mu, damped
+#: residuals — additionally tracks state across levels in the physical
+#: factorization; reference ``regularize_tikhonov_1_test``).
+FAST_TIER_TYPES = frozenset({
+    RegularizationType.NONE,
+    RegularizationType.TIKHONOV,
+    RegularizationType.TIKHONOV_CG,
+    RegularizationType.R,
+    RegularizationType.R_NO_Z,
+    RegularizationType.RT_NO_Z,
+    RegularizationType.RT_NO_Z_CG,
+    RegularizationType.TIKHONOV_2,
+    RegularizationType.TEST,
+})
 
-def _gather_cols(M: jax.Array, start: jax.Array, K: int, n_max: int) -> jax.Array:
-    cols = jnp.minimum(start + jnp.arange(K, dtype=jnp.int32), n_max)
-    return M.take(cols, axis=1)
+
+def variable_factor(level_rows, eps, first_col, rank, n, factor):
+    """Conditioning-driven damping (reference ``lexlse.h:277-312``,
+    Chiaverini formula): ce = |rhs| / |R^{-1} rhs|; damp when ce < eps."""
+    dtype = level_rows.dtype
+    K = level_rows.shape[0]
+    cols_k = jnp.minimum(first_col + jnp.arange(K, dtype=jnp.int32), n)
+    Rpad = level_rows.take(cols_k, axis=1)
+    i_idx = jnp.arange(K)[:, None]
+    j_idx = jnp.arange(K)[None, :]
+    in_rank = (i_idx < rank) & (j_idx < rank) & (j_idx >= i_idx)
+    Rm = jnp.where(in_rank, Rpad,
+                   jnp.where(i_idx == j_idx, 1.0, 0.0).astype(dtype))
+    rows_k = jnp.arange(K)
+    rhs_seg = jnp.where(rows_k < rank, level_rows[:, n], 0)
+    y = jax.scipy.linalg.solve_triangular(Rm, rhs_seg, lower=False)
+    num = jnp.sum(rhs_seg * rhs_seg)
+    den = jnp.sum(y * y)
+    ce = num / jnp.where(den > 0, den, 1.0)
+    eps = jnp.asarray(eps, dtype)
+    damp = jnp.sqrt(jnp.maximum(1.0 - (ce * ce) / (eps * eps), 0.0))
+    return jnp.where((rank > 0) & (ce < eps), damp * factor,
+                     jnp.zeros((), dtype))
 
 
 def apply_level_regularization(
     params: ParametersLexLSE,
-    lod: jax.Array,
+    level_rows: jax.Array,
     null_space: jax.Array,
-    fr: int,
-    dim: int,
-    K: int,
     first_col: jax.Array,
     rank: jax.Array,
     col_index: jax.Array,
     factor: jax.Array,
     n: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Regularize the RHS segment of the current level, then accumulate the
-    nullspace basis (for the variants that need it).  Pure-functional: the
-    updated (lod, null_space) are returned.
+    """Regularize the RHS segment of the current level, then accumulate
+    the nullspace basis (for the variants that need it).  Returns
+    (new_rhs_segment (K,), new_null_space): the caller writes the rhs
+    segment back into its own storage layout.
 
-    The level's data: R_k = lod[fr:fr+rank, first_col:first_col+rank]
-    (upper triangular), T_k = trailing columns [col_index, n), rhs =
-    lod[fr:fr+rank, n].  S_{k-1} = null_space[:first_col, first_col:n] with
-    the identity block implicit; s_{k-1} = null_space[:first_col, n].
+    The level's data: R_k = staircase of the first ``rank`` rows, T_k =
+    trailing columns [col_index, n), rhs = level_rows[:, n].  S_{k-1} =
+    null_space[:first_col, first_col:n] with the identity block implicit;
+    s_{k-1} = null_space[:first_col, n].
     """
     rt = params.regularization_type
-    dtype = lod.dtype
+    K = level_rows.shape[0]
     do_reg = jnp.logical_and(factor != 0.0, rank > 0)
 
     if rt in (
@@ -58,30 +100,31 @@ def apply_level_regularization(
         RegularizationType.TIKHONOV_1,
         RegularizationType.TIKHONOV_2,
     ):
-        new_lod = _tikhonov_full(lod, null_space, fr, K, first_col, rank, col_index, factor, n)
+        new_rhs = _tikhonov_full(level_rows, null_space, first_col, rank,
+                                 col_index, factor, n)
     elif rt == RegularizationType.TIKHONOV_CG:
-        new_lod = _tikhonov_cg(params, lod, null_space, fr, K, first_col, rank, col_index, factor, n)
+        new_rhs = _tikhonov_cg(params, level_rows, null_space, first_col,
+                               rank, col_index, factor, n)
     elif rt == RegularizationType.R:
-        new_lod = _reg_R(lod, null_space, fr, K, first_col, rank, factor, n)
+        new_rhs = _reg_R(level_rows, null_space, first_col, rank, factor, n)
     elif rt == RegularizationType.R_NO_Z:
-        new_lod = _reg_R_no_z(lod, fr, K, first_col, rank, factor, n)
+        new_rhs = _reg_R_no_z(level_rows, first_col, rank, factor, n)
     elif rt == RegularizationType.RT_NO_Z:
-        new_lod = _reg_RT_no_z(lod, fr, K, first_col, rank, col_index, factor, n)
+        new_rhs = _reg_RT_no_z(level_rows, first_col, rank, col_index,
+                               factor, n)
     elif rt == RegularizationType.RT_NO_Z_CG:
-        new_lod = _rt_no_z_cg(params, lod, fr, K, first_col, rank, col_index, factor, n)
+        new_rhs = _rt_no_z_cg(params, level_rows, first_col, rank, col_index,
+                              factor, n)
     elif rt == RegularizationType.TEST:
-        rows = jnp.arange(dim)
-        seg = lod[fr : fr + dim, n]
-        new_lod = lod.at[fr : fr + dim, n].set(
-            jnp.where(rows < rank, seg * factor, seg)
-        )
+        new_rhs = level_rows[:, n] * factor
     else:
-        new_lod = lod
+        new_rhs = level_rows[:, n]
 
-    lod = jnp.where(do_reg, new_lod, lod)
+    rows = jnp.arange(K)
+    rhs_out = jnp.where(do_reg & (rows < rank), new_rhs, level_rows[:, n])
 
     # nullspace accumulation (``lexlse.h:2592-2625``) — needed by the
-    # Tikhonov/R variants; harmless otherwise.
+    # Tikhonov/R variants; harmless otherwise.  Uses the REGULARIZED rhs.
     if rt in (
         RegularizationType.TIKHONOV,
         RegularizationType.TIKHONOV_1,
@@ -89,27 +132,28 @@ def apply_level_regularization(
         RegularizationType.TIKHONOV_CG,
         RegularizationType.R,
     ):
-        null_space = _accumulate_nullspace(lod, null_space, fr, K, first_col, rank, col_index, n)
+        lv = jnp.concatenate([level_rows[:, :n], rhs_out[:, None]], axis=1)
+        null_space = _accumulate_nullspace(lv, null_space, first_col, rank,
+                                           col_index, n)
 
-    return lod, null_space
+    return rhs_out, null_space
 
 
-def _level_blocks(lod, null_space, fr, K, first_col, rank, col_index, n):
+def _level_blocks(level_rows, null_space, first_col, rank, col_index, n):
     """Common masked blocks for the level, padded to static shapes.
 
     Returns (RT (K, n+1): columns in position space with only the level's
     R/T entries of the first ``rank`` rows; rhs_k (K,); S (n, n+1) masked
     accumulated nullspace rows; s (n,) its rhs)."""
-    dtype = lod.dtype
+    K = level_rows.shape[0]
     rows = jnp.arange(K)
     pos = jnp.arange(n + 1)
-    RT = lod[fr : fr + K, :]
-    RT = jnp.where(rows[:, None] < rank, RT, 0)
+    RT = jnp.where(rows[:, None] < rank, level_rows, 0)
     # staircase mask: row i of the level starts at column first_col + i
     # (strictly-lower entries of the R block hold Householder essentials)
     RT = jnp.where(pos[None, :] >= first_col + rows[:, None], RT, 0)
     RT = RT.at[:, n].set(0)  # exclude the rhs column
-    rhs_k = jnp.where(rows < rank, lod[fr : fr + K, n], 0)
+    rhs_k = jnp.where(rows < rank, level_rows[:, n], 0)
     row_pos = jnp.arange(null_space.shape[0])
     S = jnp.where(row_pos[:, None] < first_col, null_space, 0)
     S = jnp.where(pos[None, :] >= first_col, S, 0)
@@ -129,15 +173,16 @@ def _masked_chol_solve(D, d, active_mask):
     return jax.scipy.linalg.cho_solve(c, dm) * active_mask
 
 
-def _tikhonov_full(lod, null_space, fr, K, first_col, rank, col_index, factor, n,
-                   return_y: bool = False):
+def _tikhonov_full(level_rows, null_space, first_col, rank, col_index,
+                   factor, n, return_y: bool = False):
     """min ||[R,T] y - rhs||^2 + mu^2 ||S y - s||^2 + mu^2 ||y||^2 over the
     remaining variables y (positions >= first_col), primal normal equations
     (``regularize_tikhonov_1``, ``lexlse.h:1700-1763``; mathematically
     equivalent to the dual ``regularize_tikhonov_2``)."""
-    dtype = lod.dtype
+    dtype = level_rows.dtype
     mu = factor * factor
-    RT, rhs_k, S, s = _level_blocks(lod, null_space, fr, K, first_col, rank, col_index, n)
+    RT, rhs_k, S, s = _level_blocks(level_rows, null_space, first_col, rank,
+                                    col_index, n)
     pos = jnp.arange(n)
     active = pos >= first_col  # remaining variables (positions)
     A1 = RT[:, :n]  # (K, n)
@@ -145,21 +190,19 @@ def _tikhonov_full(lod, null_space, fr, K, first_col, rank, col_index, factor, n
     d = A1.T @ rhs_k + mu * (S[:, :n].T @ s)
     y = _masked_chol_solve(D, d, active)
     new_rhs = A1 @ y  # (K,)
-    rows = jnp.arange(K)
-    seg = lod[fr : fr + K, n]
-    new_lod = lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
     if return_y:
-        return new_lod, y
-    return new_lod
+        return new_rhs, y
+    return new_rhs
 
 
-def _reg_R(lod, null_space, fr, K, first_col, rank, factor, n):
+def _reg_R(level_rows, null_space, first_col, rank, factor, n):
     """Tikhonov on the basic variables only (``lexlse.h:2138-2170``)."""
-    dtype = lod.dtype
+    dtype = level_rows.dtype
     mu = factor * factor
+    K = level_rows.shape[0]
     rows = jnp.arange(K)
     pos = jnp.arange(n)
-    R = lod[fr : fr + K, :n]
+    R = level_rows[:, :n]
     R = jnp.where(rows[:, None] < rank, R, 0)
     stair = (pos[None, :] >= first_col + rows[:, None]) & (
         pos[None, :] < first_col + rank
@@ -170,57 +213,52 @@ def _reg_R(lod, null_space, fr, K, first_col, rank, factor, n):
     up = jnp.where(row_pos[:, None] < first_col, null_space[:, :n], 0)
     up = jnp.where(basic_cols[None, :], up, 0)
     s = jnp.where(row_pos < first_col, null_space[:, n], 0)
-    rhs_k = jnp.where(rows < rank, lod[fr : fr + K, n], 0)
+    rhs_k = jnp.where(rows < rank, level_rows[:, n], 0)
     active = (pos >= first_col) & (pos < first_col + rank)
     D = R.T @ R + mu * (up.T @ up) + mu * jnp.eye(n, dtype=dtype)
     d = mu * (up.T @ s) + R.T @ rhs_k
     y = _masked_chol_solve(D, d, active)
-    new_rhs = R @ y
-    seg = lod[fr : fr + K, n]
-    return lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+    return R @ y
 
 
-def _reg_R_no_z(lod, fr, K, first_col, rank, factor, n):
+def _reg_R_no_z(level_rows, first_col, rank, factor, n):
     """``lexlse.h:2175-2202``."""
-    dtype = lod.dtype
+    dtype = level_rows.dtype
     mu = factor * factor
+    K = level_rows.shape[0]
     rows = jnp.arange(K)
     pos = jnp.arange(n)
-    R = lod[fr : fr + K, :n]
+    R = level_rows[:, :n]
     R = jnp.where(rows[:, None] < rank, R, 0)
     basic = (pos[None, :] >= first_col + rows[:, None]) & (
         pos[None, :] < first_col + rank
     )
     R = jnp.where(basic, R, 0)
-    rhs_k = jnp.where(rows < rank, lod[fr : fr + K, n], 0)
+    rhs_k = jnp.where(rows < rank, level_rows[:, n], 0)
     active = (pos >= first_col) & (pos < first_col + rank)
     D = R.T @ R + mu * jnp.eye(n, dtype=dtype)
     d = R.T @ rhs_k
     y = _masked_chol_solve(D, d, active)
-    new_rhs = R @ y
-    seg = lod[fr : fr + K, n]
-    return lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+    return R @ y
 
 
-def _reg_RT_no_z(lod, fr, K, first_col, rank, col_index, factor, n):
+def _reg_RT_no_z(level_rows, first_col, rank, col_index, factor, n):
     """Dual form on [R,T] only (``lexlse.h:2207-2242``): rhs <- (D - mu I) d
     with D = [R,T][R,T]' + mu I, D d = rhs."""
-    dtype = lod.dtype
+    dtype = level_rows.dtype
     mu = factor * factor
+    K = level_rows.shape[0]
     rows = jnp.arange(K)
     pos = jnp.arange(n + 1)
-    RT = lod[fr : fr + K, :]
-    RT = jnp.where(rows[:, None] < rank, RT, 0)
+    RT = jnp.where(rows[:, None] < rank, level_rows, 0)
     RT = jnp.where(pos[None, :] >= first_col + rows[:, None], RT, 0)
     RT = RT.at[:, n].set(0)
     A1 = RT[:, :n]
-    rhs_k = jnp.where(rows < rank, lod[fr : fr + K, n], 0)
+    rhs_k = jnp.where(rows < rank, level_rows[:, n], 0)
     active = rows < rank
     D = A1 @ A1.T + mu * jnp.eye(K, dtype=dtype)
     d = _masked_chol_solve(D, rhs_k, active)
-    new_rhs = (A1 @ (A1.T @ d)) * active
-    seg = lod[fr : fr + K, n]
-    return lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+    return (A1 @ (A1.T @ d)) * active
 
 
 def _cgls(matvec, rmatvec, b, x0, iters, tol, dtype):
@@ -251,10 +289,13 @@ def _cgls(matvec, rmatvec, b, x0, iters, tol, dtype):
     return x
 
 
-def _tikhonov_cg(params, lod, null_space, fr, K, first_col, rank, col_index, factor, n):
+def _tikhonov_cg(params, level_rows, null_space, first_col, rank, col_index,
+                 factor, n):
     """CGLS on the stacked damped system (``lexlse.h:2256-2279``)."""
-    dtype = lod.dtype
-    RT, rhs_k, S, s = _level_blocks(lod, null_space, fr, K, first_col, rank, col_index, n)
+    dtype = level_rows.dtype
+    K = level_rows.shape[0]
+    RT, rhs_k, S, s = _level_blocks(level_rows, null_space, first_col, rank,
+                                    col_index, n)
     A1 = RT[:, :n]
     S1 = S[:, :n]
     pos = jnp.arange(n)
@@ -269,24 +310,22 @@ def _tikhonov_cg(params, lod, null_space, fr, K, first_col, rank, col_index, fac
 
     b = jnp.concatenate([rhs_k, factor * s, jnp.zeros((n,), dtype)])
     y = _cgls(matvec, rmatvec, b, jnp.zeros((n,), dtype),
-              params.max_number_of_CG_iterations, jnp.asarray(1e-12, dtype), dtype)
-    new_rhs = A1 @ (y * active)
-    rows = jnp.arange(K)
-    seg = lod[fr : fr + K, n]
-    return lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+              params.max_number_of_CG_iterations, jnp.asarray(1e-12, dtype),
+              dtype)
+    return A1 @ (y * active)
 
 
-def _rt_no_z_cg(params, lod, fr, K, first_col, rank, col_index, factor, n):
+def _rt_no_z_cg(params, level_rows, first_col, rank, col_index, factor, n):
     """CGLS without the nullspace coupling (``lexlse.h:2333-2356``)."""
-    dtype = lod.dtype
+    dtype = level_rows.dtype
+    K = level_rows.shape[0]
     rows = jnp.arange(K)
     pos = jnp.arange(n + 1)
-    RT = lod[fr : fr + K, :]
-    RT = jnp.where(rows[:, None] < rank, RT, 0)
+    RT = jnp.where(rows[:, None] < rank, level_rows, 0)
     RT = jnp.where(pos[None, :] >= first_col + rows[:, None], RT, 0)
     RT = RT.at[:, n].set(0)
     A1 = RT[:, :n]
-    rhs_k = jnp.where(rows < rank, lod[fr : fr + K, n], 0)
+    rhs_k = jnp.where(rows < rank, level_rows[:, n], 0)
     posn = jnp.arange(n)
     active = posn >= first_col
 
@@ -298,13 +337,12 @@ def _rt_no_z_cg(params, lod, fr, K, first_col, rank, col_index, factor, n):
 
     b = jnp.concatenate([rhs_k, jnp.zeros((n,), dtype)])
     y = _cgls(matvec, rmatvec, b, jnp.zeros((n,), dtype),
-              params.max_number_of_CG_iterations, jnp.asarray(1e-12, dtype), dtype)
-    new_rhs = A1 @ (y * active)
-    seg = lod[fr : fr + K, n]
-    return lod.at[fr : fr + K, n].set(jnp.where(rows < rank, new_rhs, seg))
+              params.max_number_of_CG_iterations, jnp.asarray(1e-12, dtype),
+              dtype)
+    return A1 @ (y * active)
 
 
-def _accumulate_nullspace(lod, null_space, fr, K, first_col, rank, col_index, n):
+def _accumulate_nullspace(level_rows, null_space, first_col, rank, col_index, n):
     """Accumulate Z_1 ... Z_k, Z_j = [-inv(R_j) T_j; I] (identity implicit),
     reference ``lexlse.h:2592-2625``.
 
@@ -312,7 +350,8 @@ def _accumulate_nullspace(lod, null_space, fr, K, first_col, rank, col_index, n)
     of the new block: left = [S_prev_cols_R; I] R^{-1} written into columns
     [first_col, first_col+rank), trailing -= left @ [T_k | rhs_k].
     """
-    dtype = lod.dtype
+    dtype = level_rows.dtype
+    K = level_rows.shape[0]
     rows_n = jnp.arange(null_space.shape[0])
     pos = jnp.arange(n + 1)
 
@@ -320,7 +359,7 @@ def _accumulate_nullspace(lod, null_space, fr, K, first_col, rank, col_index, n)
 
     # R (identity-extended), gathered at dynamic offset
     cols_k = jnp.minimum(first_col + jnp.arange(K, dtype=jnp.int32), n)
-    Rpad = lod[fr : fr + K, :].take(cols_k, axis=1)
+    Rpad = level_rows.take(cols_k, axis=1)
     i_idx = jnp.arange(K)[:, None]
     j_idx = jnp.arange(K)[None, :]
     in_rank = (i_idx < rank) & (j_idx < rank) & (j_idx >= i_idx)
@@ -342,8 +381,7 @@ def _accumulate_nullspace(lod, null_space, fr, K, first_col, rank, col_index, n)
     left = jnp.where(j_idx[0][None, :] < rank, left, 0)
 
     # Up = [T_k | rhs_k] rows of the level
-    Up = lod[fr : fr + K, :]
-    Up = jnp.where(jnp.arange(K)[:, None] < rank, Up, 0)
+    Up = jnp.where(jnp.arange(K)[:, None] < rank, level_rows, 0)
     Up = jnp.where(pos[None, :] >= col_index, Up, 0)
 
     trailing_mask = pos[None, :] >= col_index

@@ -265,3 +265,47 @@ def test_factorize_fast_equivalence(seed):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(jl.residual(f1)),
                                np.asarray(jl.residual(f2)), atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "regtype",
+    [
+        RegularizationType.TIKHONOV,
+        RegularizationType.TIKHONOV_2,
+        RegularizationType.TIKHONOV_CG,
+        RegularizationType.R,
+        RegularizationType.R_NO_Z,
+        RegularizationType.RT_NO_Z,
+        RegularizationType.RT_NO_Z_CG,
+    ],
+)
+@pytest.mark.parametrize("var_eps", [0.0, 5.0])
+def test_factorize_fast_regularized_equivalence(regtype, var_eps):
+    """The fast tier must reproduce the physical tier bit-for-bit with
+    regularization enabled (the regularizers see the same position-space
+    level view either way), including the accumulated nullspace and the
+    downstream solves."""
+    rng = np.random.default_rng(57)
+    A, b, dims, _, _ = gen.random_equality_hierarchy(rng, 9, (4, 3, 3),
+                                                     (3, 2, 2))
+    mu = jnp.asarray(np.array([0.1, 0.25, 0.15]))
+    params = ParametersLexLSE(regularization_type=regtype,
+                              variable_regularization_factor=var_eps)
+
+    @jax.jit
+    def both(A, b, mu):
+        f1 = jl.factorize(A, b, tuple(dims), params, reg_factors=mu)
+        f2 = jl.factorize_fast(A, b, tuple(dims), params, reg_factors=mu)
+        return f1, f2
+
+    f1, f2 = both(jnp.asarray(A), jnp.asarray(b), mu)
+    np.testing.assert_array_equal(np.asarray(f1.perm), np.asarray(f2.perm))
+    np.testing.assert_array_equal(np.asarray(f1.ranks), np.asarray(f2.ranks))
+    np.testing.assert_allclose(np.asarray(f1.lod), np.asarray(f2.lod),
+                               atol=1e-12, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1.null_space),
+                               np.asarray(f2.null_space), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jl.solve(f1)),
+                               np.asarray(jl.solve(f2)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jl.residual(f1)),
+                               np.asarray(jl.residual(f2)), atol=1e-12)
