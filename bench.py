@@ -62,7 +62,7 @@ def main():
     # native = natively-batched solver (+ Pallas panel kernels)
     # vmap   = vmapped per-instance solver (XLA)
     mode = os.environ.get("LEXLS_BENCH_MODE", "fused")
-    tile = int(os.environ.get("LEXLS_BENCH_TILE", 32))
+    tile = int(os.environ.get("LEXLS_BENCH_TILE", 64))
     # Mosaic's default scoped-VMEM budget is ~16 MB; v5e has far more
     # physical VMEM, and the fused kernel at tile=32 wants ~30 MB
     vmem_mb = int(os.environ.get("LEXLS_BENCH_VMEM_MB", 100))

@@ -854,8 +854,6 @@ def solve_core_fused(
     no cycling handling, no working-set log, no trace); raises
     ``LexLSError`` otherwise — the XLA tiers remain the general path.
     """
-    if struct.simple_bounds:
-        raise LexLSError("solve_core_fused: simple-bounds level unsupported")
     if params.regularization_type != RegularizationType.NONE:
         raise LexLSError("solve_core_fused: regularization unsupported")
     if (params.cycling_handling_enabled or params.log_working_set_enabled
@@ -864,11 +862,12 @@ def solve_core_fused(
             "solve_core_fused: cycling/log/trace/use_phase1_v0 unsupported")
     from .ops.fused import fused_active_set
 
-    p = struct.n_obj
+    p = len(struct.lexlse_dims)
     prio = tuple(tuple(int(q) for q in struct.sweep_priority(j))
                  for j in range(p))
     elig = tuple(tuple(bool(e) for e in struct.sweep_eligible(j))
                  for j in range(p))
+    var_idx = struct.var_idx if struct.simple_bounds else ()
 
     with jax.default_matmul_precision("float32"):
         s = jax.vmap(
@@ -881,7 +880,8 @@ def solve_core_fused(
          status) = fused_active_set(
             A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
             s.Ax, s.n_fact,
-            dims=struct.dims, tol_ld=params.tol_linear_dependence,
+            dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
+            tol_ld=params.tol_linear_dependence,
             tol_feas=params.tol_feasibility,
             tol_wrong=params.tol_wrong_sign_lambda,
             tol_correct=params.tol_correct_sign_lambda,

@@ -176,7 +176,7 @@ def _check_blocking_tile(ctr_type, Ax, Adx, v, dv, lb, ub, tol_feasibility,
 
 
 def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
-                  Ax_in, nf_in, prio_in, elig_in,
+                  Ax_in, nf_in, prio_in, elig_in, vmap_in,
                   x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
                   it_o, na_o, nd_o, nf_o, status_o,
                   lod_ref, hh_ref, pos_ref, col_at_ref, rr_ref, cn_ref,
@@ -184,10 +184,11 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     """One batch tile's full active-set solve; ``ctx`` carries the static
     problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
     the lambda-sweep visit priorities / eligibility per objective."""
-    (dims, offsets, n, m, p, tol_ld, tol_feas, tol_wrong, tol_correct,
+    (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
      max_fact, deact_first) = ctx
     TB = A_in.shape[0]
     dtype = A_in.dtype
+    mg = m - d0  # general (lexlse) rows; rows < d0 are simple bounds
 
     iota_m = lax.broadcasted_iota(jnp.int32, (TB, m), 1)
     iota_n = lax.broadcasted_iota(jnp.int32, (TB, n), 1)
@@ -221,17 +222,32 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         rhs_row = _rhs_of_type(lb, ub, ct)
 
         # ---- build the masked LexLSE subproblem in the LOD
-        # (``formLexLSE``: lexlsi.h:968-982 — inactive rows are zero)
+        # (``formLexLSE``: lexlsi.h:968-982 — inactive rows are zero;
+        # active simple-bounds rows become fixed variables: their columns
+        # are zeroed and eliminated from the RHS, ``lexlse.h:132-156``)
         actf = active.astype(dtype)
-        lod_ref[:, :, :n] = A_in[:] * actf[:, :, None]
-        lod_ref[:, :, n] = rhs_row * actf
+        if d0:
+            vm = vmap_in[:]  # (d0, n) one-hot row->variable map
+            act0 = actf[:, :d0]
+            fixed_mask = jnp.sum(act0[:, :, None] * vm[None, :, :],
+                                 axis=1)  # (TB, n) in {0,1}
+            fixed_val = jnp.sum((act0 * rhs_row[:, :d0])[:, :, None]
+                                * vm[None, :, :], axis=1)
+            Agm = A_in[:, d0:, :] * actf[:, d0:, None]
+            lod_ref[:, :, :n] = Agm * (1.0 - fixed_mask[:, None, :])
+            lod_ref[:, :, n] = rhs_row[:, d0:] * actf[:, d0:] - jnp.sum(
+                Agm * fixed_val[:, None, :], axis=2)
+        else:
+            fixed_mask = fixed_val = Agm = None
+            lod_ref[:, :, :n] = A_in[:] * actf[:, :, None]
+            lod_ref[:, :, n] = rhs_row * actf
 
         # ---- factorize: per-level panel pivot loop + Gauss elimination
         pos_ref[:] = iota_n
         col_at_ref[:] = iota_n
         rr_ref[:] = jnp.zeros((TB, n), jnp.int32)
         ci_ref[:] = jnp.zeros((TB, 1), jnp.int32)
-        hh_ref[:] = jnp.zeros((TB, m), dtype)
+        hh_ref[:] = jnp.zeros((TB, mg), dtype)
 
         per_level = []  # (fr, dim, K, fc, end, rank, Chot, Rpad, V, taus)
         for k in range(p):
@@ -245,31 +261,49 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             block0 = lod_ref[:, fr : fr + dim, :]
             cn_ref[:] = jnp.sum(block0[:, :, :n] * block0[:, :, :n], axis=1)
             stop_ref[:] = jnp.zeros((TB, 1), jnp.int32)
-            hh_lvl0 = jnp.zeros((TB, dim), dtype)
+            hh_ref[:, fr : fr + dim] = jnp.zeros((TB, dim), dtype)
+            v_refs[k][:] = jnp.zeros_like(v_refs[k])
 
-            def panel_step(counter, hh_lvl, fr=fr, dim=dim, K=K, k=k):
-                out = _panel_step_core(
-                    counter, lod_ref[:, fr : fr + dim, :], cn_ref[:],
-                    pos_ref[:], col_at_ref[:], ci_ref[:], stop_ref[:],
-                    rr_ref[:], hh_lvl, fr=fr, dim=dim, n=n, tol=tol_ld)
-                lod_ref[:, fr : fr + dim, :] = out[0]
-                cn_ref[:] = out[1]
-                pos_ref[:] = out[2]
-                col_at_ref[:] = out[3]
-                ci_ref[:] = out[4]
-                stop_ref[:] = out[5]
-                rr_ref[:] = out[6]
-
-                # stash the reflection vector for the lambda replay (the
-                # sweep would otherwise re-gather it through Chot)
-                @pl.when(counter < K)
+            def panel_step(counter, _c, fr=fr, dim=dim, K=K, k=k):
+                # skip the whole step once every instance in the tile has
+                # hit its rank cutoff (ranks below `dim` are the norm on
+                # active-set subproblems: masked rows contribute nothing)
+                @pl.when(jnp.min(stop_ref[:]) == 0)
                 def _():
-                    v_refs[k][:, pl.ds(counter, 1), :] = out[8][:, None, :]
+                    ci_old = ci_ref[:]
+                    out = _panel_step_core(
+                        counter, lod_ref[:, fr : fr + dim, :], cn_ref[:],
+                        pos_ref[:], col_at_ref[:], ci_old, stop_ref[:],
+                        rr_ref[:], hh_ref[:, fr : fr + dim],
+                        fr=fr, dim=dim, n=n, tol=tol_ld,
+                        defer_downdate=True)
+                    lod_ref[:, fr : fr + dim, :] = out[0]
+                    cn = out[1]
+                    pos_ref[:] = out[2]
+                    col_at_ref[:] = out[3]
+                    ci_ref[:] = out[4]
+                    stop_ref[:] = out[5]
+                    rr_ref[:] = out[6]
+                    hh_ref[:, fr : fr + dim] = out[7]
 
-                return out[7]
+                    # deferred norm downdate: read the updated pivot row
+                    # back (dynamic sublane slice — cheaper than a
+                    # one-hot contraction over the whole block)
+                    prow = lod_ref[:, pl.ds(fr + counter, 1), :n][:, 0, :]
+                    accept = ci_ref[:] > ci_old
+                    dd = jnp.where(pos_ref[:] > ci_old, prow * prow, 0.0)
+                    cn_ref[:] = jnp.where(accept, cn - dd, cn)
 
-            hh_lvl = lax.fori_loop(0, dim, panel_step, hh_lvl0)
-            hh_ref[:, fr : fr + dim] = hh_lvl
+                    # stash the reflection vector for the lambda replay
+                    # (the sweep would otherwise re-gather it via Chot)
+                    @pl.when(counter < K)
+                    def _():
+                        v_refs[k][:, pl.ds(counter, 1), :] = out[8][:, None, :]
+
+                return 0
+
+            lax.fori_loop(0, dim, panel_step, 0)
+            hh_lvl = hh_ref[:, fr : fr + dim]
 
             end = ci_ref[:]            # (TB, 1) position after this level
             rank = end - fc
@@ -298,7 +332,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                      jnp.ones((TB, 1), dtype)], axis=1)
                 Up = Up * trail[:, None, :]
                 store = (pos_ref[:] >= fc) & (pos_ref[:] < end)
-                Mk = m - (fr + dim)
+                Mk = mg - (fr + dim)
                 CHUNK = 128
                 for r0 in range(0, Mk, CHUNK):
                     r1 = min(r0 + CHUNK, Mk)
@@ -331,6 +365,9 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             x_var = x_var + jnp.sum(
                 y[:, :, None] * _chot(pos_ref[:], fc, K, dtype), axis=1)
 
+        if d0:
+            x_var = jnp.where(fixed_mask > 0, fixed_val, x_var)
+
         # ---- form the step (``objective.h:288-338``)
         x_star = x_var
         dx = x_star - x_o[:]
@@ -349,7 +386,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         def run_sweep():
             # all objectives' multipliers by one descending pass per level
             # (transposed form of ``ObjectiveSensitivity``,
-            # ``lexlse.h:611-762``), Householder replay inside
+            # ``lexlse.h:611-762``), Householder replay inside; lam spans
+            # the GENERAL rows (bounds rows get lam_fixed, see selection)
             lam_parts = [None] * p
             rhs_all = jnp.zeros((TB, p, n), dtype)
             jvec = lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
@@ -390,7 +428,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             return jnp.concatenate(lam_parts, axis=2)
 
         lam_all = lax.cond(
-            want_any, run_sweep, lambda: jnp.zeros((TB, p, m), dtype))
+            want_any, run_sweep, lambda: jnp.zeros((TB, p, mg), dtype))
 
         # ---- removal selection (``findActiveCtr2Remove``,
         # ``lexlsi.h:1048-1139`` + CORRECT_SIGN exemption)
@@ -398,7 +436,18 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         found = jnp.zeros((TB, 1), bool)
         sel_row = jnp.full((TB, 1), -1, jnp.int32)
         for j in range(p):
-            vals = lam_all[:, j, :]  # (TB, m)
+            lam_j = lam_all[:, j, :]  # (TB, mg)
+            if d0:
+                # lambda of the fixed variables: -A_fix^T lam over the
+                # masked general rows (``lexlse.h:591-601``), mapped back
+                # to the bounds rows through the variable map
+                lam_fixed = -jnp.sum(Agm * lam_j[:, :, None], axis=1)
+                lam_fixed = lam_fixed * fixed_mask  # (TB, n)
+                vals0 = jnp.sum(vm[None, :, :] * lam_fixed[:, None, :],
+                                axis=2)  # (TB, d0)
+                vals = jnp.concatenate([vals0, lam_j], axis=1)
+            else:
+                vals = lam_j
             eligible = (elig_in[j, :] != 0)[None, :]
             a = jnp.where(ct == int(CtrType.ACTIVE_LB), -vals, vals)
             consider = eligible & (
@@ -488,21 +537,24 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "tol_ld", "tol_feas", "tol_wrong", "tol_correct",
-                     "max_fact", "deact_first", "prio", "elig", "tile",
-                     "interpret", "vmem_limit_mb"),
+    static_argnames=("dims", "d0", "var_idx", "tol_ld", "tol_feas",
+                     "tol_wrong", "tol_correct", "max_fact", "deact_first",
+                     "prio", "elig", "tile", "interpret", "vmem_limit_mb"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
     *, dims: Tuple[int, ...], tol_ld: float, tol_feas: float,
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
-    prio, elig, tile: int = 8, interpret: bool = False,
-    vmem_limit_mb: int = 0,
+    prio, elig, d0: int = 0, var_idx: Tuple[int, ...] = (),
+    tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
 ):
     """Run the fused active-set loop on a batch (leading axis B).
 
-    ``prio`` / ``elig`` are tuples-of-tuples (hashable) with the lambda
-    sweep visit priorities / eligibility per objective (static).  Returns
+    ``dims`` are the GENERAL (lexlse) level sizes; when ``d0`` > 0 the
+    first ``d0`` constraint rows are a simple-bounds level whose active
+    rows fix the variables ``var_idx`` (static tuple).  ``prio`` /
+    ``elig`` are tuples-of-tuples (hashable) with the lambda sweep visit
+    priorities / eligibility per objective (static, full-m).  Returns
     the tuple of final state arrays.
     """
     B, m, n = A.shape
@@ -513,12 +565,16 @@ def fused_active_set(
     for d in dims:
         offsets.append(ofs)
         ofs += d
-    assert ofs == m
+    assert ofs == m - d0
 
     prio_arr = jnp.asarray(np.asarray(prio, np.int32))          # (p, m)
     elig_arr = jnp.asarray(np.asarray(elig, np.int32))          # (p, m)
-    ctx = (tuple(dims), tuple(offsets), n, m, p, tol_ld, tol_feas, tol_wrong,
-           tol_correct, max_fact, deact_first)
+    vmap_np = np.zeros((max(d0, 1), n), np.float32)
+    for r, c in enumerate(var_idx):
+        vmap_np[r, c] = 1.0
+    vmap_arr = jnp.asarray(vmap_np, dtype)
+    ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
+           tol_wrong, tol_correct, max_fact, deact_first)
 
     tile = min(tile, B)
     assert B % tile == 0, (B, tile)
@@ -555,10 +611,13 @@ def fused_active_set(
         bspec(n), bspec(m), bspec(m), bspec(1),
         pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((max(d0, 1), n), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
+    mg = m - d0
     scratch = [
-        pltpu.VMEM((tile, m, n + 1), dtype),   # lod
-        pltpu.VMEM((tile, m), dtype),          # hh
+        pltpu.VMEM((tile, mg, n + 1), dtype),  # lod (general rows)
+        pltpu.VMEM((tile, mg), dtype),         # hh
         pltpu.VMEM((tile, n), jnp.int32),      # pos
         pltpu.VMEM((tile, n), jnp.int32),      # col_at
         pltpu.VMEM((tile, n), jnp.int32),      # rank_row
@@ -586,4 +645,4 @@ def fused_active_set(
         interpret=interpret,
         **kwargs,
     )(A, lb, ub, ctr_type, stamp, next_stamp[:, None], x, v, Ax,
-      n_fact[:, None], prio_arr, elig_arr)
+      n_fact[:, None], prio_arr, elig_arr, vmap_arr)

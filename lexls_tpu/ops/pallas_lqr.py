@@ -44,7 +44,8 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
-                     rank_row, hh, *, fr, dim, n, tol):
+                     rank_row, hh, *, fr, dim, n, tol,
+                     defer_downdate: bool = False):
     """One pivot step on a (TB, dim, n+1) level block (virtual perm).
 
     Pure value-level math (mirrors reference ``lexlse.h:199-268`` /
@@ -126,10 +127,13 @@ def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
     hh = jnp.where((rows == counter) & accept, tau, hh)
     rank_row = jnp.where(accept & (qpos == ci), fr + counter, rank_row)
 
-    # --- downdate of column norms
-    pivot_row = jnp.sum(block[:, :, :n] * row_hot[:, :, None], axis=1)
-    dd = jnp.where(pos > ci, pivot_row * pivot_row, 0)
-    col_norms = jnp.where(accept, col_norms - dd, col_norms)
+    # --- downdate of column norms (deferrable: a kernel caller can read
+    # the updated pivot row back from its VMEM ref with a dynamic slice,
+    # which is cheaper than this full-block one-hot contraction)
+    if not defer_downdate:
+        pivot_row = jnp.sum(block[:, :, :n] * row_hot[:, :, None], axis=1)
+        dd = jnp.where(pos > ci, pivot_row * pivot_row, 0)
+        col_norms = jnp.where(accept, col_norms - dd, col_norms)
 
     ci = ci + accept.astype(jnp.int32)
     # u_live: this step's reflection vector, zeroed when the step is dead

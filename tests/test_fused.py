@@ -67,6 +67,7 @@ def test_fused_matches_xla_fuzz(trial):
     n = int(rng.integers(4, 14))
     p = int(rng.integers(1, 5))
     dims = [int(rng.integers(1, 7)) for _ in range(p)]
+    simple = bool(rng.random() < 0.35) and dims[0] <= n
     ranks = None
     if rng.random() < 0.5:
         ranks = [min(d, int(rng.integers(1, d + 1))) for d in dims]
@@ -74,7 +75,7 @@ def test_fused_matches_xla_fuzz(trial):
     tight = float(rng.random() * 0.6)
     prob = gen.random_inequality_hierarchy(
         rng, n, dims, ranks=ranks, equality_fraction=eqf,
-        tight_fraction=tight)
+        tight_fraction=tight, simple_bounds=simple)
     params = T.ParametersLexLSI(
         max_number_of_factorizations=80,
         deactivate_first_wrong_sign=bool(rng.random() < 0.4),
@@ -170,3 +171,18 @@ def test_fused_rejects_unsupported():
             jli.solve_core_fused(
                 *args, struct=struct, params=bad, x_guess_specified=False,
                 v0_specified=False, interpret=True)
+
+
+def test_fused_simple_bounds():
+    """Level-0 simple bounds (variable fixing in the subproblem,
+    lam_fixed in the sweep) must match the XLA path through activations
+    AND deactivations of bounds rows."""
+    rng = np.random.default_rng(23)
+    prob = gen.random_inequality_hierarchy(
+        rng, 9, [4, 4, 3], equality_fraction=0.1, tight_fraction=0.7,
+        simple_bounds=True)
+    params = T.ParametersLexLSI(max_number_of_factorizations=100)
+    ref, fus = _run_pair(prob, params, B=3, rng=rng,
+                         x0=1.5 * rng.standard_normal(9))
+    assert int(np.asarray(ref.n_act).sum()) > 0
+    _assert_match(ref, fus)
