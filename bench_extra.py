@@ -92,12 +92,11 @@ def bench_inequality_cold():
     the 88-variable scale of the (missing) test_numerical_error.dat."""
     import lexls_tpu.lexlsi as jli
     from lexls_tpu.oracle import generate as gen
-    from lexls_tpu.parallel import solve_batched
     from lexls_tpu.types import ParametersLexLSI
 
     dtype = jnp.float32
     on_tpu = jax.devices()[0].platform == "tpu"
-    B = 128 if on_tpu else 4
+    B = 256 if on_tpu else 4
     rng = np.random.default_rng(0)
     prob = gen.random_inequality_hierarchy(
         rng, 88, [44, 44], equality_fraction=0.05, tight_fraction=0.3)
@@ -118,13 +117,18 @@ def bench_inequality_cold():
     base = jnp.asarray(np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
                                  for _ in range(B)]), dtype)
 
+    tile = 64 if on_tpu else B
+    vmem = 100 if on_tpu else 0
+
     @functools.partial(jax.jit, static_argnames=("N",))
     def run(base, N):
         def body(carry, _):
             Ac, acc = carry
-            st = solve_batched(Ac, lbs, ubs, c0, s0, n0,
-                               jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
-                               reg, struct=struct, params=params)
+            st = jli.solve_core_fused(
+                Ac, lbs, ubs, c0, s0, n0, jnp.zeros((B, n), dtype),
+                jnp.zeros((B, m), dtype), reg, struct=struct, params=params,
+                x_guess_specified=False, v0_specified=False, tile=tile,
+                interpret=not on_tpu, vmem_limit_mb=vmem)
             return (Ac + 1e-9 * jnp.sum(st.x), acc + jnp.sum(st.it)), None
         (Ac, acc), _ = lax.scan(body, (base, jnp.zeros((), dtype)), None, length=N)
         return acc
@@ -134,7 +138,7 @@ def bench_inequality_cold():
     print(json.dumps({
         "metric": "inequality_cold_solves_per_s",
         "value": round(rate, 2), "unit": "solves/s",
-        "config": f"B={B} n=88 dims=(44,44) two-sided cold",
+        "config": f"B={B} n=88 dims=(44,44) two-sided cold fused",
     }))
 
 
@@ -146,7 +150,7 @@ def bench_deep_regularized():
 
     dtype = jnp.float32
     on_tpu = jax.devices()[0].platform == "tpu"
-    B = 128 if on_tpu else 4
+    B = 1024 if on_tpu else 4
     rng = np.random.default_rng(0)
     prob = gen.random_inequality_hierarchy(
         rng, 24, [6, 5, 5, 4, 4, 4], ranks=[4, 3, 3, 2, 2, 2],
