@@ -66,6 +66,8 @@ def main():
     # Mosaic's default scoped-VMEM budget is ~16 MB; v5e has far more
     # physical VMEM, and the fused kernel at tile=32 wants ~30 MB
     vmem_mb = int(os.environ.get("LEXLS_BENCH_VMEM_MB", 100))
+    # iteration compaction: pause after N iterations, cluster stragglers
+    compact = int(os.environ.get("LEXLS_BENCH_COMPACT", 0))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -101,7 +103,8 @@ def main():
             return jli.solve_core_fused(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
                 params=params, x_guess_specified=xg, v0_specified=False,
-                tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem_mb)
+                tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem_mb,
+                compact=compact)
         if mode == "native":
             return jli.solve_core_batched(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,

@@ -837,13 +837,14 @@ def solve_core_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
-                     "tile", "interpret", "vmem_limit_mb"),
+                     "tile", "interpret", "vmem_limit_mb", "compact"),
 )
 def solve_core_fused(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
     struct: Structure, params: ParametersLexLSI,
     x_guess_specified: bool, v0_specified: bool,
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
+    compact: int = 0,
 ) -> LexLSIState:
     """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
     active-set loop in one Pallas program per batch tile with all state
@@ -876,10 +877,7 @@ def solve_core_fused(
                 x_guess_specified, v0_specified)
         )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
 
-        (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
-         status) = fused_active_set(
-            A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
-            s.Ax, s.n_fact,
+        kw = dict(
             dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
             tol_ld=params.tol_linear_dependence,
             tol_feas=params.tol_feasibility,
@@ -889,6 +887,38 @@ def solve_core_fused(
             deact_first=params.deactivate_first_wrong_sign,
             prio=prio, elig=elig, tile=tile, interpret=interpret,
             vmem_limit_mb=vmem_limit_mb)
+        outs = fused_active_set(
+            A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
+            s.Ax, s.n_fact, iter_cap=compact, **kw)
+        if compact:
+            # iteration compaction: pause after `compact` iterations,
+            # permute unconverged instances to the front (a tile whose
+            # instances are all done exits its while loop immediately),
+            # finish, and scatter back.  The paused/resumed trajectory
+            # is identical to the continuous one (it0 carries the
+            # iteration counter across calls).
+            (xA, vA, dxA, dvA, AxA, AdxA, ctA, stA, nsA, itA, naA, ndA,
+             nfA, stat) = outs
+            unconverged = stat[:, 0] == int(TerminationStatus.UNKNOWN)
+            order = jnp.argsort(~unconverged)
+            inv = jnp.argsort(order)
+            g = lambda arr: jnp.take(arr, order, axis=0)
+            outs_B = fused_active_set(
+                g(A), g(s.lb), g(s.ub), g(ctA), g(stA), g(nsA)[:, 0],
+                g(xA), g(vA), g(AxA), g(nfA)[:, 0], it0=g(itA)[:, 0],
+                iter_cap=0, **kw)
+            # resumed instances take phase B; already-converged keep
+            # phase A (phase B zero-initializes dx/dv/Adx and never runs
+            # their body).  n_act / n_deact (indices 10, 11) restart from
+            # zero in phase B, so the phases sum.
+            outs = tuple(
+                jnp.where(unconverged.reshape((-1,) + (1,) * (a.ndim - 1)),
+                          jnp.take(b, inv, axis=0) + (a if i in (10, 11)
+                                                      else 0),
+                          a)
+                for i, (a, b) in enumerate(zip(outs, outs_B)))
+        (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
+         status) = outs
 
         status = jnp.where(
             status[:, 0] == int(TerminationStatus.UNKNOWN),

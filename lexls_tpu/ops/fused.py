@@ -176,7 +176,7 @@ def _check_blocking_tile(ctr_type, Ax, Adx, v, dv, lb, ub, tol_feasibility,
 
 
 def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
-                  Ax_in, nf_in, prio_in, elig_in, vmap_in,
+                  Ax_in, nf_in, it0_in, prio_in, elig_in, vmap_in,
                   x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
                   it_o, na_o, nd_o, nf_o, status_o,
                   lod_ref, hh_ref, pos_ref, col_at_ref, rr_ref, cn_ref,
@@ -185,7 +185,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
     the lambda-sweep visit priorities / eligibility per objective."""
     (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
-     max_fact, deact_first) = ctx
+     max_fact, deact_first, iter_cap) = ctx
     TB = A_in.shape[0]
     dtype = A_in.dtype
     mg = m - d0  # general (lexlse) rows; rows < d0 are simple bounds
@@ -204,14 +204,19 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     dx_o[:] = jnp.zeros((TB, n), dtype)
     dv_o[:] = jnp.zeros((TB, m), dtype)
     Adx_o[:] = jnp.zeros((TB, m), dtype)
-    it_o[:] = jnp.zeros((TB, 1), jnp.int32)
+    it_o[:] = it0_in[:]
     na_o[:] = jnp.zeros((TB, 1), jnp.int32)
     nd_o[:] = jnp.zeros((TB, 1), jnp.int32)
     status_o[:] = jnp.full((TB, 1), int(TerminationStatus.UNKNOWN), jnp.int32)
 
     def alive_now():
-        return (status_o[:] == int(TerminationStatus.UNKNOWN)) & (
+        alive = (status_o[:] == int(TerminationStatus.UNKNOWN)) & (
             (it_o[:] == 0) | (nf_o[:] < max_fact))
+        if iter_cap:
+            # pause (do not terminate) after iter_cap iterations of THIS
+            # call — the compaction driver resumes via it0
+            alive = alive & (it_o[:] < it0_in[:] + iter_cap)
+        return alive
 
     def body(_carry):
         alive = alive_now()  # (TB, 1)
@@ -539,14 +544,17 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     jax.jit,
     static_argnames=("dims", "d0", "var_idx", "tol_ld", "tol_feas",
                      "tol_wrong", "tol_correct", "max_fact", "deact_first",
-                     "prio", "elig", "tile", "interpret", "vmem_limit_mb"),
+                     "prio", "elig", "tile", "interpret", "vmem_limit_mb",
+                     "iter_cap"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
+    it0=None,
     *, dims: Tuple[int, ...], tol_ld: float, tol_feas: float,
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
     prio, elig, d0: int = 0, var_idx: Tuple[int, ...] = (),
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
+    iter_cap: int = 0,
 ):
     """Run the fused active-set loop on a batch (leading axis B).
 
@@ -574,7 +582,9 @@ def fused_active_set(
         vmap_np[r, c] = 1.0
     vmap_arr = jnp.asarray(vmap_np, dtype)
     ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
-           tol_wrong, tol_correct, max_fact, deact_first)
+           tol_wrong, tol_correct, max_fact, deact_first, iter_cap)
+    if it0 is None:
+        it0 = jnp.zeros((B,), jnp.int32)
 
     tile = min(tile, B)
     assert B % tile == 0, (B, tile)
@@ -608,7 +618,7 @@ def fused_active_set(
     )
     in_specs = [
         bspec(m, n), bspec(m), bspec(m), bspec(m), bspec(m), bspec(1),
-        bspec(n), bspec(m), bspec(m), bspec(1),
+        bspec(n), bspec(m), bspec(m), bspec(1), bspec(1),
         pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((max(d0, 1), n), lambda i: (0, 0),
@@ -645,4 +655,4 @@ def fused_active_set(
         interpret=interpret,
         **kwargs,
     )(A, lb, ub, ctr_type, stamp, next_stamp[:, None], x, v, Ax,
-      n_fact[:, None], prio_arr, elig_arr, vmap_arr)
+      n_fact[:, None], it0[:, None], prio_arr, elig_arr, vmap_arr)

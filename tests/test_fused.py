@@ -186,3 +186,35 @@ def test_fused_simple_bounds():
                          x0=1.5 * rng.standard_normal(9))
     assert int(np.asarray(ref.n_act).sum()) > 0
     _assert_match(ref, fus)
+
+
+def test_fused_compaction_exact():
+    """Iteration compaction (pause -> permute stragglers -> resume) must
+    reproduce the continuous fused run field-for-field."""
+    import dataclasses
+
+    rng = np.random.default_rng(31)
+    prob = gen.random_inequality_hierarchy(
+        rng, 10, [4, 4, 4], equality_fraction=0.1, tight_fraction=0.6)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(max_number_of_factorizations=80)
+    B, dt = 6, jnp.float64
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    As = jnp.asarray(np.stack([
+        prob.A + (1e-3 + 3e-2 * (i % 3)) * rng.standard_normal(prob.A.shape)
+        for i in range(B)]), dt)  # heterogeneous difficulty
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, prob.n_ctr))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, prob.n_ctr))
+    reg = jnp.asarray(prob.regularization, dt)
+    x0 = jnp.asarray(np.tile(1.5 * rng.standard_normal(10), (B, 1)), dt)
+
+    kw = dict(struct=struct, params=params, x_guess_specified=True,
+              v0_specified=False, tile=3, interpret=True)
+    a = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg, **kw)
+    b = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg,
+                             compact=2, **kw)
+    for f in dataclasses.fields(a):
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if hasattr(va, "shape") and va.size:
+            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                       atol=1e-12, err_msg=f.name)
