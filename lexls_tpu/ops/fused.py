@@ -183,9 +183,12 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                   ci_ref, stop_ref, *v_refs):
     """One batch tile's full active-set solve; ``ctx`` carries the static
     problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
-    the lambda-sweep visit priorities / eligibility per objective."""
+    the lambda-sweep visit priorities / eligibility per objective.
+
+    ``ablate`` (profiling-only, see :func:`fused_active_set`) statically
+    skips stages; results are meaningless when non-empty."""
     (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
-     max_fact, deact_first, iter_cap) = ctx
+     max_fact, deact_first, iter_cap, ablate) = ctx
     TB = A_in.shape[0]
     dtype = A_in.dtype
     mg = m - d0  # general (lexlse) rows; rows < d0 are simple bounds
@@ -204,12 +207,15 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     dx_o[:] = jnp.zeros((TB, n), dtype)
     dv_o[:] = jnp.zeros((TB, m), dtype)
     Adx_o[:] = jnp.zeros((TB, m), dtype)
-    it_o[:] = it0_in[:]
+    it_o[:] = jnp.zeros_like(it0_in) if "force" in ablate else it0_in[:]
     na_o[:] = jnp.zeros((TB, 1), jnp.int32)
     nd_o[:] = jnp.zeros((TB, 1), jnp.int32)
     status_o[:] = jnp.full((TB, 1), int(TerminationStatus.UNKNOWN), jnp.int32)
 
     def alive_now():
+        if "force" in ablate:
+            # profiling mode: run exactly it0 iterations per instance
+            return it_o[:] < it0_in[:]
         alive = (status_o[:] == int(TerminationStatus.UNKNOWN)) & (
             (it_o[:] == 0) | (nf_o[:] < max_fact))
         if iter_cap:
@@ -307,7 +313,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
 
                 return 0
 
-            lax.fori_loop(0, dim, panel_step, 0)
+            if "panel" not in ablate:
+                lax.fori_loop(0, dim, panel_step, 0)
             hh_lvl = hh_ref[:, fr : fr + dim]
 
             end = ci_ref[:]            # (TB, 1) position after this level
@@ -320,7 +327,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             Chot = _chot(pos_ref[:], fc, K, dtype)
             ChotT = jnp.swapaxes(Chot, 1, 2)        # (TB, n, K)
             rows_lvl = lod_ref[:, fr : fr + K, :n]  # (TB, K, n)
-            Rpad = _bdot(rows_lvl, ChotT)           # (TB, K, K)
+            Rpad = (jnp.zeros((TB, K, K), dtype) if "rpad" in ablate
+                    else _bdot(rows_lvl, ChotT))    # (TB, K, K)
 
             per_level.append((fr, dim, K, fc, end, rank, Rpad, hh_lvl))
 
@@ -328,7 +336,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             # chunks: the column sweep for L is row-independent given
             # Rpad, so chunking bounds the live (TB, rows, n+1)
             # temporaries (VMEM peak) without changing the math
-            if k < p - 1:
+            if k < p - 1 and "gauss" not in ablate:
                 jrow = lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
                 Up = lod_ref[:, fr : fr + K, :]
                 Up = Up * (jrow < rank[:, :, None]).astype(dtype)
@@ -356,7 +364,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         # space (free variables = 0; ``lexlse.h:1015-1045``)
         x_var = jnp.zeros((TB, n), dtype)
         for k in range(p - 1, -1, -1):
-            if per_level[k] is None:
+            if per_level[k] is None or "solve" in ablate:
                 continue
             fr, dim, K, fc, end, rank, Rpad, hh_lvl = per_level[k]
             trail_mask = (pos_ref[:] >= end).astype(dtype)
@@ -375,13 +383,22 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
 
         # ---- form the step (``objective.h:288-338``)
         x_star = x_var
-        dx = x_star - x_o[:]
-        Adx = jnp.sum(A_in[:] * dx[:, None, :], axis=2)
-        dv = -v_o[:] + jnp.where(active, Ax_o[:] + Adx - rhs_row, 0.0)
+        if "form" in ablate:
+            dx = jnp.zeros((TB, n), dtype)
+            Adx = jnp.zeros((TB, m), dtype)
+            dv = jnp.zeros((TB, m), dtype)
+            alpha = jnp.ones((TB, 1), dtype)
+            brow = jnp.full((TB, 1), -1, jnp.int32)
+            btype = jnp.zeros((TB, 1), jnp.int32)
+            blocking = jnp.zeros((TB, 1), bool)
+        else:
+            dx = x_star - x_o[:]
+            Adx = jnp.sum(A_in[:] * dx[:, None, :], axis=2)
+            dv = -v_o[:] + jnp.where(active, Ax_o[:] + Adx - rhs_row, 0.0)
 
-        # ---- ratio test over inactive constraints
-        alpha, brow, btype, blocking = _check_blocking_tile(
-            ct, Ax_o[:], Adx, v_o[:], dv, lb, ub, tol_feas, iota_m, dtype)
+            # ---- ratio test over inactive constraints
+            alpha, brow, btype, blocking = _check_blocking_tile(
+                ct, Ax_o[:], Adx, v_o[:], dv, lb, ub, tol_feas, iota_m, dtype)
 
         # ---- lambda sweep (constraint removal), skipped for the whole
         # tile when every live instance has a blocking constraint
@@ -432,15 +449,16 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             # assemble (TB, p, m) in row order (no scatter in Mosaic)
             return jnp.concatenate(lam_parts, axis=2)
 
-        lam_all = lax.cond(
-            want_any, run_sweep, lambda: jnp.zeros((TB, p, mg), dtype))
+        lam_all = (jnp.zeros((TB, p, mg), dtype) if "sweep" in ablate
+                   else lax.cond(want_any, run_sweep,
+                                 lambda: jnp.zeros((TB, p, mg), dtype)))
 
         # ---- removal selection (``findActiveCtr2Remove``,
         # ``lexlsi.h:1048-1139`` + CORRECT_SIGN exemption)
         sense = ct
         found = jnp.zeros((TB, 1), bool)
         sel_row = jnp.full((TB, 1), -1, jnp.int32)
-        for j in range(p):
+        for j in range(p if "sweep" not in ablate else 0):
             lam_j = lam_all[:, j, :]  # (TB, mg)
             if d0:
                 # lambda of the fixed variables: -A_fix^T lam over the
@@ -504,8 +522,9 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         new_v = v_o[:] + afl * dv
         new_Ax = Ax_o[:] + afl * Adx
 
-        new_status = jnp.where(solved, int(TerminationStatus.PROBLEM_SOLVED),
-                               status_o[:])
+        new_status = (status_o[:] if "force" in ablate else
+                      jnp.where(solved, int(TerminationStatus.PROBLEM_SOLVED),
+                                status_o[:]))
         new_it = it_o[:] + 1
         new_na = na_o[:] + blocking.astype(jnp.int32)
         new_nd = nd_o[:] + do_remove.astype(jnp.int32)
@@ -545,7 +564,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     static_argnames=("dims", "d0", "var_idx", "tol_ld", "tol_feas",
                      "tol_wrong", "tol_correct", "max_fact", "deact_first",
                      "prio", "elig", "tile", "interpret", "vmem_limit_mb",
-                     "iter_cap"),
+                     "iter_cap", "ablate"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
@@ -554,7 +573,7 @@ def fused_active_set(
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
     prio, elig, d0: int = 0, var_idx: Tuple[int, ...] = (),
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
-    iter_cap: int = 0,
+    iter_cap: int = 0, ablate: Tuple[str, ...] = (),
 ):
     """Run the fused active-set loop on a batch (leading axis B).
 
@@ -564,6 +583,13 @@ def fused_active_set(
     ``elig`` are tuples-of-tuples (hashable) with the lambda sweep visit
     priorities / eligibility per objective (static, full-m).  Returns
     the tuple of final state arrays.
+
+    ``ablate`` is a PROFILING-ONLY hook (``tools/ablate_fused.py``):
+    tokens statically skip kernel stages ("panel", "rpad", "gauss",
+    "solve", "form", "sweep") and "force" runs exactly ``it0``
+    iterations per instance ignoring convergence — stage cost is then
+    the slope of runtime over forced iteration counts.  Results are
+    numerically meaningless when ``ablate`` is non-empty.
     """
     B, m, n = A.shape
     p = len(dims)
@@ -582,7 +608,8 @@ def fused_active_set(
         vmap_np[r, c] = 1.0
     vmap_arr = jnp.asarray(vmap_np, dtype)
     ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
-           tol_wrong, tol_correct, max_fact, deact_first, iter_cap)
+           tol_wrong, tol_correct, max_fact, deact_first, iter_cap,
+           tuple(ablate))
     if it0 is None:
         it0 = jnp.zeros((B,), jnp.int32)
 
