@@ -837,14 +837,15 @@ def solve_core_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
-                     "tile", "interpret", "vmem_limit_mb", "compact"),
+                     "tile", "interpret", "vmem_limit_mb", "compact",
+                     "tile_b"),
 )
 def solve_core_fused(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
     struct: Structure, params: ParametersLexLSI,
     x_guess_specified: bool, v0_specified: bool,
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
-    compact: int = 0,
+    compact: int = 0, tile_b: int = 0,
 ) -> LexLSIState:
     """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
     active-set loop in one Pallas program per batch tile with all state
@@ -903,10 +904,15 @@ def solve_core_fused(
             order = jnp.argsort(~unconverged)
             inv = jnp.argsort(order)
             g = lambda arr: jnp.take(arr, order, axis=0)
+            # phase A at iter_cap has perfect lane utilization (every
+            # live instance runs exactly `compact` iterations) so it
+            # wants the largest tile; phase B pays E[max iters over the
+            # tile] and may want a smaller one (tile_b).
+            kw_b = dict(kw, tile=tile_b) if tile_b else kw
             outs_B = fused_active_set(
                 g(A), g(s.lb), g(s.ub), g(ctA), g(stA), g(nsA)[:, 0],
                 g(xA), g(vA), g(AxA), g(nfA)[:, 0], it0=g(itA)[:, 0],
-                iter_cap=0, **kw)
+                iter_cap=0, **kw_b)
             # resumed instances take phase B; already-converged keep
             # phase A (phase B zero-initializes dx/dv/Adx and never runs
             # their body).  n_act / n_deact (indices 10, 11) restart from

@@ -213,8 +213,13 @@ def test_fused_compaction_exact():
     a = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg, **kw)
     b = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg,
                              compact=2, **kw)
+    # straggler phase with its own (smaller) tile must be identical too
+    c = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg,
+                             compact=2, tile_b=2, **kw)
     for f in dataclasses.fields(a):
-        va, vb = getattr(a, f.name), getattr(b, f.name)
+        va = getattr(a, f.name)
         if hasattr(va, "shape") and va.size:
-            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
-                                       atol=1e-12, err_msg=f.name)
+            for other in (b, c):
+                np.testing.assert_allclose(
+                    np.asarray(va), np.asarray(getattr(other, f.name)),
+                    atol=1e-12, err_msg=f.name)
