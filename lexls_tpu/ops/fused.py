@@ -213,6 +213,10 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     status_o[:] = jnp.full((TB, 1), int(TerminationStatus.UNKNOWN), jnp.int32)
 
     def alive_now():
+        if "off" in ablate:
+            # profiling mode: run zero iterations (isolates the call
+            # boundary + state copies from the loop cost)
+            return jnp.zeros((TB, 1), bool)
         if "force" in ablate:
             # profiling mode: run exactly it0 iterations per instance
             return it_o[:] < it0_in[:]
