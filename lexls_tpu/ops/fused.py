@@ -241,7 +241,15 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         # active simple-bounds rows become fixed variables: their columns
         # are zeroed and eliminated from the RHS, ``lexlse.h:132-156``)
         actf = active.astype(dtype)
-        if d0:
+        if "lodinit" in ablate:
+            # profiling stub: factorize whatever the LOD holds (stale,
+            # data-dependent — cannot be constant-folded)
+            fixed_mask = fixed_val = Agm = None
+            if d0:
+                fixed_mask = jnp.zeros((TB, n), dtype)
+                fixed_val = jnp.zeros((TB, n), dtype)
+                Agm = A_in[:, d0:, :]
+        elif d0:
             vm = vmap_in[:]  # (d0, n) one-hot row->variable map
             act0 = actf[:, :d0]
             fixed_mask = jnp.sum(act0[:, :, None] * vm[None, :, :],
@@ -397,12 +405,25 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             blocking = jnp.zeros((TB, 1), bool)
         else:
             dx = x_star - x_o[:]
-            Adx = jnp.sum(A_in[:] * dx[:, None, :], axis=2)
+            if "adx" in ablate:
+                # profiling stub: (TB, m)-shaped, data-dependent, cheap
+                Adx = v_o[:] * 1.0000001 + dx[:, :1]
+            else:
+                Adx = jnp.sum(A_in[:] * dx[:, None, :], axis=2)
             dv = -v_o[:] + jnp.where(active, Ax_o[:] + Adx - rhs_row, 0.0)
 
             # ---- ratio test over inactive constraints
-            alpha, brow, btype, blocking = _check_blocking_tile(
-                ct, Ax_o[:], Adx, v_o[:], dv, lb, ub, tol_feas, iota_m, dtype)
+            if "ratio" in ablate:
+                # profiling stub: data-dependent scalars, no reductions
+                blocking = dv[:, :1] > 1e30
+                alpha = jnp.where(blocking, 0.5, 1.0).astype(dtype)
+                brow = jnp.where(blocking, 0, -1).astype(jnp.int32)
+                btype = jnp.where(blocking, int(CtrType.ACTIVE_LB),
+                                  0).astype(jnp.int32)
+            else:
+                alpha, brow, btype, blocking = _check_blocking_tile(
+                    ct, Ax_o[:], Adx, v_o[:], dv, lb, ub, tol_feas, iota_m,
+                    dtype)
 
         # ---- lambda sweep (constraint removal), skipped for the whole
         # tile when every live instance has a blocking constraint
@@ -462,7 +483,12 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         sense = ct
         found = jnp.zeros((TB, 1), bool)
         sel_row = jnp.full((TB, 1), -1, jnp.int32)
-        for j in range(p if "sweep" not in ablate else 0):
+        if "rsel" in ablate:
+            # profiling stub: data-dependent, skips the selection loop
+            found = lam_all[:, 0, :1] > 1e30
+            sel_row = jnp.where(found, 0, -1).astype(jnp.int32)
+        for j in range(p if ("sweep" not in ablate and "rsel" not in ablate)
+                       else 0):
             lam_j = lam_all[:, j, :]  # (TB, mg)
             if d0:
                 # lambda of the fixed variables: -A_fix^T lam over the
@@ -511,13 +537,18 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         rrow = sel_row
 
         # ---- working-set update (+stamps), step, counters
-        brow_hot = iota_m == brow
-        rrow_hot = iota_m == rrow
-        new_ct = jnp.where(blocking & brow_hot, btype,
-                           jnp.where(do_remove & rrow_hot,
-                                     int(CtrType.INACTIVE), ct))
-        new_st = jnp.where(blocking & brow_hot, ns_o[:],
-                           jnp.where(do_remove & rrow_hot, -1, st_o[:]))
+        if "wsupd" in ablate:
+            # profiling stub: keep the working set (data-dependent)
+            new_ct = jnp.where(blocking, ct, ct)
+            new_st = st_o[:]
+        else:
+            brow_hot = iota_m == brow
+            rrow_hot = iota_m == rrow
+            new_ct = jnp.where(blocking & brow_hot, btype,
+                               jnp.where(do_remove & rrow_hot,
+                                         int(CtrType.INACTIVE), ct))
+            new_st = jnp.where(blocking & brow_hot, ns_o[:],
+                               jnp.where(do_remove & rrow_hot, -1, st_o[:]))
         new_ns = ns_o[:] + blocking.astype(jnp.int32)
 
         take = (alpha > 0.0).astype(dtype)

@@ -115,16 +115,20 @@ def run(k, ablate):
     return statistics.median(ts)
 
 
+# single-token MARGINAL ablations: each variant removes ONE stage from
+# the otherwise-full kernel, replacing it with a cheap *data-dependent*
+# stub (resists constant folding, unlike the zeros of the cumulative
+# mode) — slope(full) - slope(-X) = marginal cost of X.
 VARIANTS = [
     ("full", ()),
+    ("-panel", ("panel",)),
+    ("-adx", ("adx",)),
+    ("-ratio", ("ratio",)),
+    ("-lodinit", ("lodinit",)),
+    ("-wsupd", ("wsupd",)),
+    ("-rsel", ("rsel",)),
+    ("-solve", ("solve",)),
     ("-sweep", ("sweep",)),
-    ("-sweep-gauss", ("sweep", "gauss")),
-    ("-sweep-gauss-solve", ("sweep", "gauss", "solve")),
-    ("-sweep-gauss-solve-form", ("sweep", "gauss", "solve", "form")),
-    ("-sweep-gauss-solve-form-panel",
-     ("sweep", "gauss", "solve", "form", "panel")),
-    ("-everything(+rpad)",
-     ("sweep", "gauss", "solve", "form", "panel", "rpad")),
 ]
 
 slopes = {}
@@ -132,16 +136,11 @@ for name, ab in VARIANTS:
     t = {k: run(k, ab) for k in KS}
     slope = (t[KS[1]] - t[KS[0]]) / (KS[1] - KS[0])
     slopes[name] = slope
-    print(f"{name:34s} t2={t[KS[0]]*1e3:8.2f}ms t6={t[KS[1]]*1e3:8.2f}ms "
+    print(f"{name:10s} t2={t[KS[0]]*1e3:8.2f}ms t6={t[KS[1]]*1e3:8.2f}ms "
           f"per-iter={slope*1e3:8.3f}ms ({slope/B*1e6:6.2f} us/inst)",
           flush=True)
 
-print("\nstage costs (per batch-iteration):")
-names = [v[0] for v in VARIANTS]
-for prev, cur, label in zip(names, names[1:],
-                            ["sweep", "gauss", "solve", "form", "panel",
-                             "rpad"]):
-    d = slopes[prev] - slopes[cur]
-    print(f"  {label:8s} {d*1e3:8.3f}ms ({d/B*1e6:6.2f} us/inst)")
-print(f"  {'base':8s} {slopes[names[-1]]*1e3:8.3f}ms "
-      f"({slopes[names[-1]]/B*1e6:6.2f} us/inst)")
+print("\nmarginal stage costs (per batch-iteration):")
+for name, _ in VARIANTS[1:]:
+    d = slopes["full"] - slopes[name]
+    print(f"  {name[1:]:8s} {d*1e3:8.3f}ms ({d/B*1e6:6.2f} us/inst)")
