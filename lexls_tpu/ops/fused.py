@@ -188,7 +188,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     ``ablate`` (profiling-only, see :func:`fused_active_set`) statically
     skips stages; results are meaningless when non-empty."""
     (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
-     max_fact, deact_first, iter_cap, ablate, panel_q) = ctx
+     max_fact, deact_first, iter_cap, ablate) = ctx
     TB = A_in.shape[0]
     dtype = A_in.dtype
     mg = m - d0  # general (lexlse) rows; rows < d0 are simple bounds
@@ -325,165 +325,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
 
                 return 0
 
-            def panel_group(base, q, fr=fr, dim=dim, K=K, k=k):
-                """q exact pivot sub-steps sharing ONE fused multi-rank
-                trailing update (a grouped form of ``_panel_step_core``:
-                identical pivoting decisions, the in-group corrections
-                reconstruct each sub-step's current column / w row from
-                the group-start block algebraically).  Cuts the panel's
-                full-block passes from ~4 to ~2 per pivot + 2 per group.
-                ``base`` may be traced (fori) or static (remainder)."""
-
-                @pl.when(jnp.min(stop_ref[:]) == 0)
-                def _():
-                    rows = lax.broadcasted_iota(jnp.int32, (TB, dim), 1)
-                    phys = iota_n
-                    us, wms, tjs, hots, ncs = [], [], [], [], []
-                    for i in range(q):
-                        counter = base + i
-                        cn = cn_ref[:]
-                        ci_old = ci_ref[:]
-                        stopped = stop_ref[:]
-                        # pivot selection (as _panel_step_core)
-                        pos = pos_ref[:]
-                        remaining = pos >= ci_old
-                        masked = jnp.where(remaining, cn,
-                                           -jnp.ones((), dtype))
-                        mx = jnp.max(masked, axis=1, keepdims=True)
-                        cand = remaining & (masked == mx)
-                        qmin = jnp.min(jnp.where(cand, pos, _INT_MAX),
-                                       axis=1, keepdims=True)
-                        piv_hot = (cand & (pos == qmin)).astype(dtype)
-                        hot_p1 = jnp.concatenate(
-                            [piv_hot, jnp.zeros((TB, 1), dtype)], axis=1)
-                        # current pivot column = group-start read + in-
-                        # group corrections (the ref is unwritten until
-                        # the group ends, so reads see the start state)
-                        colv = jnp.sum(
-                            lod_ref[:, fr : fr + dim, :n]
-                            * piv_hot[:, None, :], axis=2)
-                        for j in range(i):
-                            wj_at = jnp.sum(wms[j] * hot_p1, axis=1,
-                                            keepdims=True)
-                            colv = colv - tjs[j] * us[j] * wj_at
-                        row_live = rows >= counter
-                        max_val = jnp.sum(
-                            jnp.where(row_live, colv * colv, 0), axis=1,
-                            keepdims=True)
-                        cn = jnp.where(piv_hot > 0, max_val, cn)
-                        ok = max_val >= tol_ld
-                        accept = ok & (stopped == 0) & (ci_old < n)
-                        stop_ref[:] = jnp.where(ok, stopped,
-                                                jnp.ones_like(stopped))
-                        acc = accept.astype(dtype)
-                        # virtual swap
-                        c1 = jnp.sum(
-                            jnp.where(phys == ci_old, col_at_ref[:], 0),
-                            axis=1, keepdims=True).astype(jnp.int32)
-                        piv_id = jnp.sum(
-                            jnp.where(piv_hot > 0, phys, 0), axis=1,
-                            keepdims=True).astype(jnp.int32)
-                        pos_new = jnp.where(
-                            accept & (phys == c1), qmin,
-                            jnp.where(accept & (piv_hot > 0), ci_old, pos))
-                        col_at_ref[:] = jnp.where(
-                            accept & (phys == ci_old), piv_id,
-                            jnp.where(accept & (phys == qmin), c1,
-                                      col_at_ref[:]))
-                        pos_ref[:] = pos_new
-                        # Householder generation
-                        seg = jnp.where(row_live, colv, 0)
-                        row_hot = (rows == counter).astype(dtype)
-                        c0 = jnp.sum(seg * row_hot, axis=1, keepdims=True)
-                        s_tail = jnp.sum(
-                            jnp.where(rows > counter, seg * seg, 0),
-                            axis=1, keepdims=True)
-                        nonzero_tail = s_tail > 0
-                        beta = jnp.sqrt(c0 * c0 + s_tail)
-                        beta = jnp.where(c0 >= 0, -beta, beta)
-                        beta = jnp.where(nonzero_tail, beta, c0)
-                        denom = jnp.where(nonzero_tail, c0 - beta,
-                                          jnp.ones((), dtype))
-                        tau = jnp.where(nonzero_tail, (beta - c0) / beta, 0)
-                        essential = seg / denom
-                        u = jnp.where(
-                            rows == counter, jnp.ones((), dtype),
-                            jnp.where(rows > counter, essential, 0))
-                        # w = u^T B0 - sum_j tj (u.u_j) w_j
-                        w = jnp.sum(
-                            u[:, :, None] * lod_ref[:, fr : fr + dim, :],
-                            axis=1)
-                        for j in range(i):
-                            uu = jnp.sum(u * us[j], axis=1, keepdims=True)
-                            w = w - tjs[j] * uu * wms[j]
-                        trailing = jnp.concatenate(
-                            [(pos_new > ci_old).astype(dtype),
-                             jnp.ones((TB, 1), dtype)], axis=1)
-                        wmask = w * trailing
-                        tj = tau * acc
-                        newcol = jnp.where(
-                            rows == counter, beta,
-                            jnp.where(rows > counter, essential, colv))
-                        newcol = jnp.where(accept, newcol, colv)
-                        # bookkeeping
-                        hh_ref[:, fr : fr + dim] = jnp.where(
-                            (rows == counter) & accept, tau,
-                            hh_ref[:, fr : fr + dim])
-                        rr_ref[:] = jnp.where(accept & (phys == ci_old),
-                                              fr + counter, rr_ref[:])
-                        # deferred norm downdate: reconstruct the updated
-                        # pivot row (reflections j > i have zero weight
-                        # on this row, so j <= i is the full update)
-                        prow = lod_ref[:, pl.ds(fr + counter, 1),
-                                       :n][:, 0, :]
-                        for j in range(i + 1):
-                            uj = us[j] if j < i else u
-                            wj = wms[j] if j < i else wmask
-                            tjj = tjs[j] if j < i else tj
-                            ujc = jnp.sum(uj * row_hot, axis=1,
-                                          keepdims=True)
-                            prow = prow - tjj * ujc * wj[:, :n]
-                        dd = jnp.where(pos_new > ci_old, prow * prow, 0.0)
-                        cn_ref[:] = jnp.where(accept, cn - dd, cn)
-                        ci_ref[:] = ci_old + accept.astype(jnp.int32)
-                        # reflection stash for the lambda replay
-                        u_live = u * (accept & (tau != 0)).astype(dtype)
-
-                        @pl.when(counter < K)
-                        def _():
-                            v_refs[k][:, pl.ds(counter, 1), :] = (
-                                u_live[:, None, :])
-
-                        us.append(u)
-                        wms.append(wmask)
-                        tjs.append(tj)
-                        hots.append(hot_p1)
-                        ncs.append(newcol)
-
-                    # one fused multi-rank trailing update + R overlays
-                    upd = lod_ref[:, fr : fr + dim, :]
-                    for i in range(q):
-                        upd = upd - (tjs[i][:, :, None] * us[i][:, :, None]
-                                     * wms[i][:, None, :])
-                    for i in range(q):
-                        upd = jnp.where(hots[i][:, None, :] > 0,
-                                        ncs[i][:, :, None], upd)
-                    lod_ref[:, fr : fr + dim, :] = upd
-
-                return 0
-
             if "panel" not in ablate:
-                if panel_q <= 1:
-                    lax.fori_loop(0, dim, panel_step, 0)
-                else:
-                    nfull, rem = divmod(dim, panel_q)
-                    if nfull:
-                        lax.fori_loop(
-                            0, nfull,
-                            lambda g, c: panel_group(g * panel_q, panel_q),
-                            0)
-                    if rem:
-                        panel_group(nfull * panel_q, rem)
+                lax.fori_loop(0, dim, panel_step, 0)
             hh_lvl = hh_ref[:, fr : fr + dim]
 
             end = ci_ref[:]            # (TB, 1) position after this level
@@ -756,7 +599,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     static_argnames=("dims", "d0", "var_idx", "tol_ld", "tol_feas",
                      "tol_wrong", "tol_correct", "max_fact", "deact_first",
                      "prio", "elig", "tile", "interpret", "vmem_limit_mb",
-                     "iter_cap", "ablate", "panel_q"),
+                     "iter_cap", "ablate"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
@@ -765,14 +608,9 @@ def fused_active_set(
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
     prio, elig, d0: int = 0, var_idx: Tuple[int, ...] = (),
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
-    iter_cap: int = 0, ablate: Tuple[str, ...] = (), panel_q: int = 1,
+    iter_cap: int = 0, ablate: Tuple[str, ...] = (),
 ):
     """Run the fused active-set loop on a batch (leading axis B).
-
-    ``panel_q`` > 1 groups that many exact pivot sub-steps of the panel
-    loop into one fused multi-rank trailing update (same pivoting
-    decisions; in-group corrections reconstruct intermediate values, so
-    results differ from ``panel_q=1`` only in float rounding order).
 
     ``dims`` are the GENERAL (lexlse) level sizes; when ``d0`` > 0 the
     first ``d0`` constraint rows are a simple-bounds level whose active
@@ -806,7 +644,7 @@ def fused_active_set(
     vmap_arr = jnp.asarray(vmap_np, dtype)
     ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
            tol_wrong, tol_correct, max_fact, deact_first, iter_cap,
-           tuple(ablate), panel_q)
+           tuple(ablate))
     if it0 is None:
         it0 = jnp.zeros((B,), jnp.int32)
 

@@ -17,8 +17,7 @@ from lexls_tpu.oracle import generate as gen
 from lexls_tpu.parallel import batched_initial_arrays, solve_batched
 
 
-def _run_pair(prob, params, B, rng, x0=None, drift=1e-2, tile=None,
-              panel_q=1):
+def _run_pair(prob, params, B, rng, x0=None, drift=1e-2, tile=None):
     struct = jli.Structure.of(prob)
     dt = jnp.float64
     m, n = prob.n_ctr, prob.n_var
@@ -37,7 +36,7 @@ def _run_pair(prob, params, B, rng, x0=None, drift=1e-2, tile=None,
     fus = jli.solve_core_fused(
         As, lbs, ubs, c0, s0, n0, x_in, v0, reg, struct=struct,
         params=params, x_guess_specified=xg, v0_specified=False,
-        tile=tile or B, interpret=True, panel_q=panel_q)
+        tile=tile or B, interpret=True)
     return ref, fus
 
 
@@ -224,31 +223,3 @@ def test_fused_compaction_exact():
                 np.testing.assert_allclose(
                     np.asarray(va), np.asarray(getattr(other, f.name)),
                     atol=1e-12, err_msg=f.name)
-
-
-@pytest.mark.parametrize("panel_q", [2, 3, 5])
-def test_fused_grouped_panel_matches_xla(panel_q):
-    """The grouped panel (panel_q pivot sub-steps sharing one fused
-    multi-rank update) must make the same pivoting decisions and produce
-    the same trajectory as the classic per-pivot path — the in-group
-    corrections are algebraically exact."""
-    rng = np.random.default_rng(515 + panel_q)
-    prob = gen.random_inequality_hierarchy(
-        rng, 11, [5, 4, 4], equality_fraction=0.1, tight_fraction=0.5)
-    params = T.ParametersLexLSI(max_number_of_factorizations=120)
-    ref, fus = _run_pair(prob, params, B=4, rng=rng,
-                         x0=1.2 * rng.standard_normal(11),
-                         panel_q=panel_q)
-    assert int(np.asarray(ref.n_act).sum()) > 0
-    _assert_match(ref, fus, seed=f"panel_q={panel_q}")
-
-
-def test_fused_grouped_panel_rank_deficient():
-    """Grouped panel across rank cutoffs (stopped instances mid-group)."""
-    rng = np.random.default_rng(77)
-    prob = gen.random_inequality_hierarchy(
-        rng, 9, [4, 4, 4], equality_fraction=0.2, tight_fraction=0.5,
-        ranks=[3, 2, 3])
-    params = T.ParametersLexLSI(max_number_of_factorizations=100)
-    ref, fus = _run_pair(prob, params, B=3, rng=rng, panel_q=3)
-    _assert_match(ref, fus, seed="rank-deficient")
