@@ -70,6 +70,8 @@ def main():
     compact = int(os.environ.get("LEXLS_BENCH_COMPACT", 0))
     # straggler-phase tile (0 = same as tile)
     tile_b = int(os.environ.get("LEXLS_BENCH_TILE_B", 0))
+    # pivot steps unrolled per panel-loop trip (bit-identical math)
+    panel_unroll = int(os.environ.get("LEXLS_BENCH_PANEL_UNROLL", 1))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -106,7 +108,7 @@ def main():
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
                 params=params, x_guess_specified=xg, v0_specified=False,
                 tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem_mb,
-                compact=compact, tile_b=tile_b)
+                compact=compact, tile_b=tile_b, panel_unroll=panel_unroll)
         if mode == "native":
             return jli.solve_core_batched(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
@@ -177,7 +179,7 @@ def main():
 
     mfu = mfu_report(rate, n_var, dims, warm_it_sum / warm_count)
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
-          f"tile={tile} compact={compact} tile_b={tile_b} "
+          f"tile={tile} compact={compact} tile_b={tile_b} unroll={panel_unroll} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

@@ -838,14 +838,14 @@ def solve_core_batched(
     jax.jit,
     static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
                      "tile", "interpret", "vmem_limit_mb", "compact",
-                     "tile_b"),
+                     "tile_b", "panel_unroll"),
 )
 def solve_core_fused(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
     struct: Structure, params: ParametersLexLSI,
     x_guess_specified: bool, v0_specified: bool,
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
-    compact: int = 0, tile_b: int = 0,
+    compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
 ) -> LexLSIState:
     """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
     active-set loop in one Pallas program per batch tile with all state
@@ -887,7 +887,7 @@ def solve_core_fused(
             max_fact=params.max_number_of_factorizations,
             deact_first=params.deactivate_first_wrong_sign,
             prio=prio, elig=elig, tile=tile, interpret=interpret,
-            vmem_limit_mb=vmem_limit_mb)
+            vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll)
         outs = fused_active_set(
             A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
             s.Ax, s.n_fact, iter_cap=compact, **kw)

@@ -188,7 +188,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     ``ablate`` (profiling-only, see :func:`fused_active_set`) statically
     skips stages; results are meaningless when non-empty."""
     (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
-     max_fact, deact_first, iter_cap, ablate) = ctx
+     max_fact, deact_first, iter_cap, ablate, panel_unroll) = ctx
     TB = A_in.shape[0]
     dtype = A_in.dtype
     mg = m - d0  # general (lexlse) rows; rows < d0 are simple bounds
@@ -326,7 +326,22 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 return 0
 
             if "panel" not in ablate:
-                lax.fori_loop(0, dim, panel_step, 0)
+                # unrolling U pivot steps per loop trip keeps the math
+                # bit-identical but widens the scheduler's window so
+                # adjacent steps' independent ops can overlap (the step
+                # body is a long dependency chain of small ops)
+                U = max(1, panel_unroll)
+                nfull, rem = divmod(dim, U)
+
+                def panel_multi(g, c):
+                    for i in range(U):
+                        panel_step(g * U + i, c)
+                    return 0
+
+                lax.fori_loop(0, nfull, panel_multi if U > 1 else panel_step,
+                              0)
+                for i in range(rem):
+                    panel_step(nfull * U + i, 0)
             hh_lvl = hh_ref[:, fr : fr + dim]
 
             end = ci_ref[:]            # (TB, 1) position after this level
@@ -599,7 +614,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     static_argnames=("dims", "d0", "var_idx", "tol_ld", "tol_feas",
                      "tol_wrong", "tol_correct", "max_fact", "deact_first",
                      "prio", "elig", "tile", "interpret", "vmem_limit_mb",
-                     "iter_cap", "ablate"),
+                     "iter_cap", "ablate", "panel_unroll"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
@@ -608,7 +623,7 @@ def fused_active_set(
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
     prio, elig, d0: int = 0, var_idx: Tuple[int, ...] = (),
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
-    iter_cap: int = 0, ablate: Tuple[str, ...] = (),
+    iter_cap: int = 0, ablate: Tuple[str, ...] = (), panel_unroll: int = 1,
 ):
     """Run the fused active-set loop on a batch (leading axis B).
 
@@ -644,7 +659,7 @@ def fused_active_set(
     vmap_arr = jnp.asarray(vmap_np, dtype)
     ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
            tol_wrong, tol_correct, max_fact, deact_first, iter_cap,
-           tuple(ablate))
+           tuple(ablate), panel_unroll)
     if it0 is None:
         it0 = jnp.zeros((B,), jnp.int32)
 

@@ -223,3 +223,34 @@ def test_fused_compaction_exact():
                 np.testing.assert_allclose(
                     np.asarray(va), np.asarray(getattr(other, f.name)),
                     atol=1e-12, err_msg=f.name)
+
+
+def test_fused_panel_unroll_identical():
+    """panel_unroll only restructures the loop (same ops, same order per
+    instance) — results must be bit-identical to the rolled loop."""
+    import dataclasses
+
+    rng = np.random.default_rng(99)
+    prob = gen.random_inequality_hierarchy(
+        rng, 10, [5, 4, 4], equality_fraction=0.1, tight_fraction=0.5)
+    params = T.ParametersLexLSI(max_number_of_factorizations=80)
+    struct = jli.Structure.of(prob)
+    dt = jnp.float64
+    B, m = 3, prob.n_ctr
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    As = jnp.asarray(np.stack([
+        prob.A + 1e-2 * rng.standard_normal(prob.A.shape)
+        for _ in range(B)]), dt)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    reg = jnp.asarray(prob.regularization, dt)
+    kw = dict(struct=struct, params=params, x_guess_specified=False,
+              v0_specified=False, tile=B, interpret=True)
+    a = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, xz, v0, reg, **kw)
+    b = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, xz, v0, reg,
+                             panel_unroll=3, **kw)  # 5 = 3 + remainder 2
+    for f in dataclasses.fields(a):
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if hasattr(va, "shape") and va.size:
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=f.name)
