@@ -72,6 +72,8 @@ def main():
     tile_b = int(os.environ.get("LEXLS_BENCH_TILE_B", 0))
     # pivot steps unrolled per panel-loop trip (bit-identical math)
     panel_unroll = int(os.environ.get("LEXLS_BENCH_PANEL_UNROLL", 1))
+    # capped compaction rounds before the unbounded finish phase
+    compact_rounds = int(os.environ.get("LEXLS_BENCH_COMPACT_ROUNDS", 1))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -108,7 +110,8 @@ def main():
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
                 params=params, x_guess_specified=xg, v0_specified=False,
                 tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem_mb,
-                compact=compact, tile_b=tile_b, panel_unroll=panel_unroll)
+                compact=compact, tile_b=tile_b, panel_unroll=panel_unroll,
+                compact_rounds=compact_rounds)
         if mode == "native":
             return jli.solve_core_batched(
                 A, lbs, ubs, c, s, ns, x, v0, reg, struct=struct,
@@ -179,7 +182,8 @@ def main():
 
     mfu = mfu_report(rate, n_var, dims, warm_it_sum / warm_count)
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
-          f"tile={tile} compact={compact} tile_b={tile_b} unroll={panel_unroll} "
+          f"tile={tile} compact={compact}x{compact_rounds} tile_b={tile_b} "
+          f"unroll={panel_unroll} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

@@ -838,7 +838,7 @@ def solve_core_batched(
     jax.jit,
     static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
                      "tile", "interpret", "vmem_limit_mb", "compact",
-                     "tile_b", "panel_unroll"),
+                     "tile_b", "panel_unroll", "compact_rounds"),
 )
 def solve_core_fused(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
@@ -846,6 +846,7 @@ def solve_core_fused(
     x_guess_specified: bool, v0_specified: bool,
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
+    compact_rounds: int = 1,
 ) -> LexLSIState:
     """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
     active-set loop in one Pallas program per batch tile with all state
@@ -895,34 +896,40 @@ def solve_core_fused(
             # iteration compaction: pause after `compact` iterations,
             # permute unconverged instances to the front (a tile whose
             # instances are all done exits its while loop immediately),
-            # finish, and scatter back.  The paused/resumed trajectory
-            # is identical to the continuous one (it0 carries the
-            # iteration counter across calls).
-            (xA, vA, dxA, dvA, AxA, AdxA, ctA, stA, nsA, itA, naA, ndA,
-             nfA, stat) = outs
-            unconverged = stat[:, 0] == int(TerminationStatus.UNKNOWN)
-            order = jnp.argsort(~unconverged)
-            inv = jnp.argsort(order)
-            g = lambda arr: jnp.take(arr, order, axis=0)
-            # phase A at iter_cap has perfect lane utilization (every
-            # live instance runs exactly `compact` iterations) so it
-            # wants the largest tile; phase B pays E[max iters over the
-            # tile] and may want a smaller one (tile_b).
+            # continue, and scatter back.  With compact_rounds > 1 the
+            # pause/permute/resume repeats, RE-clustering the shrinking
+            # straggler set each round — total tile-iterations approach
+            # the per-instance iteration sum instead of the per-tile max.
+            # The trajectory is identical to the continuous run (it0
+            # carries the iteration counter across calls).
             kw_b = dict(kw, tile=tile_b) if tile_b else kw
-            outs_B = fused_active_set(
-                g(A), g(s.lb), g(s.ub), g(ctA), g(stA), g(nsA)[:, 0],
-                g(xA), g(vA), g(AxA), g(nfA)[:, 0], it0=g(itA)[:, 0],
-                iter_cap=0, **kw_b)
-            # resumed instances take phase B; already-converged keep
-            # phase A (phase B zero-initializes dx/dv/Adx and never runs
-            # their body).  n_act / n_deact (indices 10, 11) restart from
-            # zero in phase B, so the phases sum.
-            outs = tuple(
-                jnp.where(unconverged.reshape((-1,) + (1,) * (a.ndim - 1)),
-                          jnp.take(b, inv, axis=0) + (a if i in (10, 11)
-                                                      else 0),
-                          a)
-                for i, (a, b) in enumerate(zip(outs, outs_B)))
+
+            def resume(outs, cap, kw_r):
+                (xA, vA, dxA, dvA, AxA, AdxA, ctA, stA, nsA, itA, naA,
+                 ndA, nfA, stat) = outs
+                unconverged = stat[:, 0] == int(TerminationStatus.UNKNOWN)
+                order = jnp.argsort(~unconverged)
+                inv = jnp.argsort(order)
+                g = lambda arr: jnp.take(arr, order, axis=0)
+                outs_B = fused_active_set(
+                    g(A), g(s.lb), g(s.ub), g(ctA), g(stA), g(nsA)[:, 0],
+                    g(xA), g(vA), g(AxA), g(nfA)[:, 0], it0=g(itA)[:, 0],
+                    iter_cap=cap, **kw_r)
+                # resumed instances take the new phase; converged keep
+                # the old (the new phase zero-initializes dx/dv/Adx and
+                # never runs their body).  n_act / n_deact (indices 10,
+                # 11) restart from zero each phase, so phases sum.
+                return tuple(
+                    jnp.where(
+                        unconverged.reshape((-1,) + (1,) * (a.ndim - 1)),
+                        jnp.take(b, inv, axis=0) + (a if i in (10, 11)
+                                                    else 0),
+                        a)
+                    for i, (a, b) in enumerate(zip(outs, outs_B)))
+
+            for _ in range(max(0, compact_rounds - 1)):
+                outs = resume(outs, compact, kw)
+            outs = resume(outs, 0, kw_b)
         (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
          status) = outs
 

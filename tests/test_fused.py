@@ -216,10 +216,13 @@ def test_fused_compaction_exact():
     # straggler phase with its own (smaller) tile must be identical too
     c = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg,
                              compact=2, tile_b=2, **kw)
+    # iterative re-clustering (one capped round per iteration) too
+    d = jli.solve_core_fused(As, lbs, ubs, c0, s0, n0, x0, v0, reg,
+                             compact=1, compact_rounds=4, **kw)
     for f in dataclasses.fields(a):
         va = getattr(a, f.name)
         if hasattr(va, "shape") and va.size:
-            for other in (b, c):
+            for other in (b, c, d):
                 np.testing.assert_allclose(
                     np.asarray(va), np.asarray(getattr(other, f.name)),
                     atol=1e-12, err_msg=f.name)
