@@ -903,18 +903,39 @@ def solve_core_fused(
             # The trajectory is identical to the continuous run (it0
             # carries the iteration counter across calls).
             kw_b = dict(kw, tile=tile_b) if tile_b else kw
+            iota_b = jnp.arange(A.shape[0], dtype=jnp.int32)
+
+            def permute(arr, hot):
+                """Permute rows by the one-hot matrix ``hot`` on the MXU.
+                A TPU row-gather dispatches one DMA per row (~10 us each,
+                ~4 ms for the full state at B=384 — measured to erase the
+                compaction win); a one-hot matmul moves the same data in
+                ~0.1 ms and is EXACT: with 0/1 weights at HIGHEST
+                precision every product is a representable value or
+                zero.  Integer arrays round-trip through f32 (all carried
+                ints are far below 2**24)."""
+                flat = arr.reshape(arr.shape[0], -1)
+                if jnp.issubdtype(arr.dtype, jnp.integer) or arr.dtype == bool:
+                    out = jnp.dot(hot, flat.astype(jnp.float32),
+                                  precision=lax.Precision.HIGHEST)
+                    out = jnp.round(out).astype(arr.dtype)
+                else:
+                    out = jnp.dot(hot.astype(arr.dtype), flat,
+                                  precision=lax.Precision.HIGHEST)
+                return out.reshape(arr.shape)
 
             def resume(outs, cap, kw_r):
                 (xA, vA, dxA, dvA, AxA, AdxA, ctA, stA, nsA, itA, naA,
                  ndA, nfA, stat) = outs
                 unconverged = stat[:, 0] == int(TerminationStatus.UNKNOWN)
                 order = jnp.argsort(~unconverged)
-                inv = jnp.argsort(order)
-                g = lambda arr: jnp.take(arr, order, axis=0)
+                hot = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
+                g = lambda arr: permute(arr, hot)
                 outs_B = fused_active_set(
                     g(A), g(s.lb), g(s.ub), g(ctA), g(stA), g(nsA)[:, 0],
                     g(xA), g(vA), g(AxA), g(nfA)[:, 0], it0=g(itA)[:, 0],
                     iter_cap=cap, **kw_r)
+                hot_t = hot.T
                 # resumed instances take the new phase; converged keep
                 # the old (the new phase zero-initializes dx/dv/Adx and
                 # never runs their body).  n_act / n_deact (indices 10,
@@ -922,8 +943,7 @@ def solve_core_fused(
                 return tuple(
                     jnp.where(
                         unconverged.reshape((-1,) + (1,) * (a.ndim - 1)),
-                        jnp.take(b, inv, axis=0) + (a if i in (10, 11)
-                                                    else 0),
+                        permute(b, hot_t) + (a if i in (10, 11) else 0),
                         a)
                     for i, (a, b) in enumerate(zip(outs, outs_B)))
 
