@@ -67,7 +67,7 @@ def main():
     # physical VMEM, and the fused kernel at tile=32 wants ~30 MB
     vmem_mb = int(os.environ.get("LEXLS_BENCH_VMEM_MB", 100))
     # iteration compaction: pause after N iterations, cluster stragglers
-    compact = int(os.environ.get("LEXLS_BENCH_COMPACT", 0))
+    compact = int(os.environ.get("LEXLS_BENCH_COMPACT", 1))
     # straggler-phase tile (0 = same as tile)
     tile_b = int(os.environ.get("LEXLS_BENCH_TILE_B", 0))
     # pivot steps unrolled per panel-loop trip (bit-identical math)
