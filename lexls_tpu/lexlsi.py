@@ -863,6 +863,13 @@ def solve_core_fused(
             or params.trace_enabled or params.use_phase1_v0):
         raise LexLSError(
             "solve_core_fused: cycling/log/trace/use_phase1_v0 unsupported")
+    B = A.shape[0]
+    for name, t in (("tile", tile), ("tile_b", tile_b)):
+        t_eff = min(t, B) if t else t
+        if t_eff and B % t_eff:
+            raise LexLSError(
+                f"solve_core_fused: batch size {B} is not divisible by "
+                f"{name}={t} — pick a divisor of the batch size")
     from .ops.fused import fused_active_set
 
     p = len(struct.lexlse_dims)

@@ -64,8 +64,8 @@ def solve_flops(n: int) -> float:
 
 def sweep_flops(n: int, dims: Sequence[int]) -> float:
     """All-objective multiplier back-propagation: per level k, a
-    Householder replay over p-k+1 right-hand sides (4 d K each) plus the
-    coupling product (2 p d n)."""
+    Householder replay over the p-k higher-level right-hand sides
+    (4 d K each) plus the coupling product (2 (p-k) d n)."""
     p = len(dims)
     total = 0.0
     fc = 0
