@@ -40,6 +40,11 @@ LAST_GOOD_PATH = os.path.join(_REPO, "BENCH_LAST_GOOD.json")
 def _init_jax():
     import jax
 
+    if os.environ.get("LEXLS_BENCH_CPU") == "1":
+        # JAX_PLATFORMS env is consumed before user code in this image
+        # (axon sitecustomize preloads jax) — config.update is the only
+        # way to force CPU in a child process
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return jax
@@ -227,6 +232,9 @@ def _probe_backend(timeout_s):
     timeout.  Run in a subprocess because a tunnel outage makes
     jax.devices() HANG (not raise) in-process."""
     code = "import jax; d = jax.devices(); print(d[0].platform)"
+    if os.environ.get("LEXLS_BENCH_CPU") == "1":
+        code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+                "print(jax.devices()[0].platform)")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,

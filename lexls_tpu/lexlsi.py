@@ -838,7 +838,8 @@ def solve_core_batched(
     jax.jit,
     static_argnames=("struct", "params", "x_guess_specified", "v0_specified",
                      "tile", "interpret", "vmem_limit_mb", "compact",
-                     "tile_b", "panel_unroll", "compact_rounds"),
+                     "tile_b", "panel_unroll", "compact_rounds",
+                     "return_factors"),
 )
 def solve_core_fused(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0, reg,
@@ -846,7 +847,7 @@ def solve_core_fused(
     x_guess_specified: bool, v0_specified: bool,
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
-    compact_rounds: int = 1,
+    compact_rounds: int = 1, return_factors: bool = False,
 ) -> LexLSIState:
     """Fully-fused whole-solver: phase 1 in XLA, then the ENTIRE
     active-set loop in one Pallas program per batch tile with all state
@@ -933,7 +934,7 @@ def solve_core_fused(
 
             def resume(outs, cap, kw_r):
                 (xA, vA, dxA, dvA, AxA, AdxA, ctA, stA, nsA, itA, naA,
-                 ndA, nfA, stat) = outs
+                 ndA, nfA, stat) = outs[:14]
                 unconverged = stat[:, 0] == int(TerminationStatus.UNKNOWN)
                 order = jnp.argsort(~unconverged)
                 hot = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
@@ -958,18 +959,21 @@ def solve_core_fused(
                 outs = resume(outs, compact, kw)
             outs = resume(outs, 0, kw_b)
         (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
-         status) = outs
+         status, rpadf, posf, ranksf) = outs
 
         status = jnp.where(
             status[:, 0] == int(TerminationStatus.UNKNOWN),
             int(TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED),
             status[:, 0],
         )
-        return dataclasses.replace(
+        state = dataclasses.replace(
             s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ct,
             stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0], n_act=na[:, 0],
             n_deact=nd[:, 0], n_fact=nf[:, 0], status=status,
         )
+        if return_factors:
+            return state, (rpadf, posf, ranksf)
+        return state
 
 
 # ---------------------------------------------------------------------------

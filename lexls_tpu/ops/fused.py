@@ -178,8 +178,8 @@ def _check_blocking_tile(ctr_type, Ax, Adx, v, dv, lb, ub, tol_feasibility,
 def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                   Ax_in, nf_in, it0_in, prio_in, elig_in, vmap_in,
                   x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
-                  it_o, na_o, nd_o, nf_o, status_o,
-                  lod_ref, hh_ref, pos_ref, col_at_ref, rr_ref, cn_ref,
+                  it_o, na_o, nd_o, nf_o, status_o, rpad_o, posf_o, ranks_o,
+                  lod_ref, hh_ref, pos_ref, cn_ref,
                   ci_ref, stop_ref, *v_refs):
     """One batch tile's full active-set solve; ``ctx`` carries the static
     problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
@@ -189,6 +189,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     skips stages; results are meaningless when non-empty."""
     (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
      max_fact, deact_first, iter_cap, ablate, panel_unroll) = ctx
+    Kmax = rpad_o.shape[-1]
     TB = A_in.shape[0]
     dtype = A_in.dtype
     mg = m - d0  # general (lexlse) rows; rows < d0 are simple bounds
@@ -211,6 +212,9 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     na_o[:] = jnp.zeros((TB, 1), jnp.int32)
     nd_o[:] = jnp.zeros((TB, 1), jnp.int32)
     status_o[:] = jnp.full((TB, 1), int(TerminationStatus.UNKNOWN), jnp.int32)
+    rpad_o[:] = jnp.zeros((TB, p, Kmax, Kmax), dtype)
+    posf_o[:] = iota_n
+    ranks_o[:] = jnp.zeros((TB, p), jnp.int32)
 
     def alive_now():
         if "off" in ablate:
@@ -267,8 +271,6 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
 
         # ---- factorize: per-level panel pivot loop + Gauss elimination
         pos_ref[:] = iota_n
-        col_at_ref[:] = iota_n
-        rr_ref[:] = jnp.zeros((TB, n), jnp.int32)
         ci_ref[:] = jnp.zeros((TB, 1), jnp.int32)
         hh_ref[:] = jnp.zeros((TB, mg), dtype)
 
@@ -287,61 +289,69 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             hh_ref[:, fr : fr + dim] = jnp.zeros((TB, dim), dtype)
             v_refs[k][:] = jnp.zeros_like(v_refs[k])
 
-            def panel_step(counter, _c, fr=fr, dim=dim, K=K, k=k):
-                # skip the whole step once every instance in the tile has
-                # hit its rank cutoff (ranks below `dim` are the norm on
-                # active-set subproblems: masked rows contribute nothing)
-                @pl.when(jnp.min(stop_ref[:]) == 0)
+            def panel_step(counter, fr=fr, dim=dim, K=K, k=k):
+                ci_old = ci_ref[:]
+                out = _panel_step_core(
+                    counter, lod_ref[:, fr : fr + dim, :], cn_ref[:],
+                    pos_ref[:], None, ci_old, stop_ref[:],
+                    None, hh_ref[:, fr : fr + dim],
+                    fr=fr, dim=dim, n=n, tol=tol_ld,
+                    defer_downdate=True, lean=True)
+                lod_ref[:, fr : fr + dim, :] = out[0]
+                cn = out[1]
+                pos_ref[:] = out[2]
+                ci_ref[:] = out[4]
+                stop_ref[:] = out[5]
+                hh_ref[:, fr : fr + dim] = out[7]
+
+                # deferred norm downdate: read the updated pivot row
+                # back (dynamic sublane slice — cheaper than a
+                # one-hot contraction over the whole block)
+                prow = lod_ref[:, pl.ds(fr + counter, 1), :n][:, 0, :]
+                accept = ci_ref[:] > ci_old
+                dd = jnp.where(pos_ref[:] > ci_old, prow * prow, 0.0)
+                cn_ref[:] = jnp.where(accept, cn - dd, cn)
+
+                # stash the reflection vector for the lambda replay
+                # (the sweep would otherwise re-gather it via Chot)
+                @pl.when(counter < K)
                 def _():
-                    ci_old = ci_ref[:]
-                    out = _panel_step_core(
-                        counter, lod_ref[:, fr : fr + dim, :], cn_ref[:],
-                        pos_ref[:], col_at_ref[:], ci_old, stop_ref[:],
-                        rr_ref[:], hh_ref[:, fr : fr + dim],
-                        fr=fr, dim=dim, n=n, tol=tol_ld,
-                        defer_downdate=True)
-                    lod_ref[:, fr : fr + dim, :] = out[0]
-                    cn = out[1]
-                    pos_ref[:] = out[2]
-                    col_at_ref[:] = out[3]
-                    ci_ref[:] = out[4]
-                    stop_ref[:] = out[5]
-                    rr_ref[:] = out[6]
-                    hh_ref[:, fr : fr + dim] = out[7]
-
-                    # deferred norm downdate: read the updated pivot row
-                    # back (dynamic sublane slice — cheaper than a
-                    # one-hot contraction over the whole block)
-                    prow = lod_ref[:, pl.ds(fr + counter, 1), :n][:, 0, :]
-                    accept = ci_ref[:] > ci_old
-                    dd = jnp.where(pos_ref[:] > ci_old, prow * prow, 0.0)
-                    cn_ref[:] = jnp.where(accept, cn - dd, cn)
-
-                    # stash the reflection vector for the lambda replay
-                    # (the sweep would otherwise re-gather it via Chot)
-                    @pl.when(counter < K)
-                    def _():
-                        v_refs[k][:, pl.ds(counter, 1), :] = out[8][:, None, :]
-
-                return 0
+                    v_refs[k][:, pl.ds(counter, 1), :] = out[8][:, None, :]
 
             if "panel" not in ablate:
-                # unrolling U pivot steps per loop trip keeps the math
-                # bit-identical but widens the scheduler's window so
-                # adjacent steps' independent ops can overlap (the step
-                # body is a long dependency chain of small ops)
-                U = max(1, panel_unroll)
-                nfull, rem = divmod(dim, U)
+                if panel_unroll > 1:
+                    # unrolling U pivot steps per loop trip keeps the
+                    # math bit-identical but widens the scheduler's
+                    # window (measured ~neutral; kept as a knob)
+                    U = panel_unroll
+                    nfull, rem = divmod(dim, U)
 
-                def panel_multi(g, c):
-                    for i in range(U):
-                        panel_step(g * U + i, c)
-                    return 0
+                    def panel_multi(g, _c):
+                        for i in range(U):
+                            @pl.when(jnp.min(stop_ref[:]) == 0)
+                            def _(i=i):
+                                panel_step(g * U + i)
+                        return 0
 
-                lax.fori_loop(0, nfull, panel_multi if U > 1 else panel_step,
-                              0)
-                for i in range(rem):
-                    panel_step(nfull * U + i, 0)
+                    lax.fori_loop(0, nfull, panel_multi, 0)
+                    for i in range(rem):
+                        @pl.when(jnp.min(stop_ref[:]) == 0)
+                        def _(i=i):
+                            panel_step(nfull * U + i)
+                else:
+                    # while loop: the level ends as soon as every
+                    # instance in the tile hit its rank cutoff — dead
+                    # trailing steps of rank-deficient levels cost
+                    # nothing (they are common: masked inactive rows
+                    # contribute no rank)
+                    def panel_cond(c):
+                        return (c < dim) & (jnp.min(stop_ref[:]) == 0)
+
+                    def panel_body(c):
+                        panel_step(c)
+                        return c + 1
+
+                    lax.while_loop(panel_cond, panel_body, 0)
             hh_lvl = hh_ref[:, fr : fr + dim]
 
             end = ci_ref[:]            # (TB, 1) position after this level
@@ -386,6 +396,24 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                                    new_below[:, :, :n]),
                          new_below[:, :, n:]], axis=2)
                     lod_ref[:, fr + dim + r0 : fr + dim + r1, :] = new_below
+
+        # ---- export the factorization of this (the latest alive)
+        # iteration: per-level R in pivot order, final positions, ranks.
+        # The last alive iteration of a solved instance factorizes its
+        # FINAL working set (the working set is unchanged on the solving
+        # iteration), so what survives here is the final factorization —
+        # the carried state of the cross-solve warm tracker
+        # (lexls_tpu/tracker.py).
+        a1 = alive[:, 0, None, None]
+        for k in range(p):
+            if per_level[k] is None:
+                continue
+            _, _, K, fc, end, rank, Rpad_k, _ = per_level[k]
+            rpad_o[:, k, :K, :K] = jnp.where(a1, Rpad_k,
+                                             rpad_o[:, k, :K, :K])
+            ranks_o[:, k : k + 1] = jnp.where(alive, rank,
+                                              ranks_o[:, k : k + 1])
+        posf_o[:] = jnp.where(alive, pos_ref[:], posf_o[:])
 
         # ---- basic solve: per-level backward substitution in variable
         # space (free variables = 0; ``lexlse.h:1015-1045``)
@@ -644,6 +672,7 @@ def fused_active_set(
     B, m, n = A.shape
     p = len(dims)
     dtype = A.dtype
+    Kmax = max(1, max((min(d, n) for d in dims), default=1))
     offsets = []
     ofs = 0
     for d in dims:
@@ -687,11 +716,14 @@ def fused_active_set(
         jax.ShapeDtypeStruct((B, 1), jnp.int32),   # n_deact
         jax.ShapeDtypeStruct((B, 1), jnp.int32),   # n_fact
         jax.ShapeDtypeStruct((B, 1), jnp.int32),   # status
+        jax.ShapeDtypeStruct((B, p, Kmax, Kmax), dtype),  # final per-level R
+        jax.ShapeDtypeStruct((B, n), jnp.int32),   # final positions
+        jax.ShapeDtypeStruct((B, p), jnp.int32),   # final ranks
     )
     out_specs = (
         bspec(n), bspec(m), bspec(n), bspec(m), bspec(m), bspec(m),
         bspec(m), bspec(m), bspec(1), bspec(1), bspec(1), bspec(1),
-        bspec(1), bspec(1),
+        bspec(1), bspec(1), bspec(p, Kmax, Kmax), bspec(n), bspec(p),
     )
     in_specs = [
         bspec(m, n), bspec(m), bspec(m), bspec(m), bspec(m), bspec(1),
@@ -706,8 +738,6 @@ def fused_active_set(
         pltpu.VMEM((tile, mg, n + 1), dtype),  # lod (general rows)
         pltpu.VMEM((tile, mg), dtype),         # hh
         pltpu.VMEM((tile, n), jnp.int32),      # pos
-        pltpu.VMEM((tile, n), jnp.int32),      # col_at
-        pltpu.VMEM((tile, n), jnp.int32),      # rank_row
         pltpu.VMEM((tile, n), dtype),          # col norms
         pltpu.VMEM((tile, 1), jnp.int32),      # col_index
         pltpu.VMEM((tile, 1), jnp.int32),      # stopped

@@ -45,12 +45,18 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
                      rank_row, hh, *, fr, dim, n, tol,
-                     defer_downdate: bool = False):
+                     defer_downdate: bool = False, lean: bool = False):
     """One pivot step on a (TB, dim, n+1) level block (virtual perm).
 
     Pure value-level math (mirrors reference ``lexlse.h:199-268`` /
     lexlse.factorize_fast).  ``ci`` (col_index) and ``stopped`` are
-    (TB, 1) int32; every selection is a one-hot contraction."""
+    (TB, 1) int32; every selection is a one-hot contraction.
+
+    ``lean=True`` skips the ``col_at`` / ``rank_row`` bookkeeping (their
+    inputs are ignored and returned unchanged): the fused whole-solve
+    kernel tracks the permutation through ``pos`` alone, and dropping
+    the inverse-map maintenance removes ~4 ops from the serial chain.
+    The pivot choice and all numerics are bit-identical."""
     TB = block.shape[0]
     dtype = block.dtype
     phys = lax.broadcasted_iota(jnp.int32, (TB, n), 1)
@@ -79,15 +85,21 @@ def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
     acc = accept.astype(dtype)
 
     # --- virtual swap: position of piv <-> position col_index
-    c1 = jnp.sum(jnp.where(qpos == ci, col_at, 0), axis=1,
-                 keepdims=True).astype(jnp.int32)
     q2 = qmin
-    piv_id = jnp.sum(jnp.where(piv_hot > 0, phys, 0), axis=1,
+    if lean:
+        # the column currently at position ci is identified through pos
+        # directly; col_at (the inverse map) is not maintained
+        pos = jnp.where(accept & (pos == ci), q2,
+                        jnp.where(accept & (piv_hot > 0), ci, pos))
+    else:
+        c1 = jnp.sum(jnp.where(qpos == ci, col_at, 0), axis=1,
                      keepdims=True).astype(jnp.int32)
-    pos = jnp.where(accept & (phys == c1), q2,
-                    jnp.where(accept & (piv_hot > 0), ci, pos))
-    col_at = jnp.where(accept & (qpos == ci), piv_id,
-                       jnp.where(accept & (qpos == q2), c1, col_at))
+        piv_id = jnp.sum(jnp.where(piv_hot > 0, phys, 0), axis=1,
+                         keepdims=True).astype(jnp.int32)
+        pos = jnp.where(accept & (phys == c1), q2,
+                        jnp.where(accept & (piv_hot > 0), ci, pos))
+        col_at = jnp.where(accept & (qpos == ci), piv_id,
+                           jnp.where(accept & (qpos == q2), c1, col_at))
 
     # --- Householder reflection of the remaining rows
     seg = jnp.where(row_live, colv, 0)
@@ -125,7 +137,8 @@ def _panel_step_core(counter, block, col_norms, pos, col_at, ci, stopped,
         block - (tau * acc)[:, :, None] * u[:, :, None] * wmask[:, None, :])
 
     hh = jnp.where((rows == counter) & accept, tau, hh)
-    rank_row = jnp.where(accept & (qpos == ci), fr + counter, rank_row)
+    if not lean:
+        rank_row = jnp.where(accept & (qpos == ci), fr + counter, rank_row)
 
     # --- downdate of column norms (deferrable: a kernel caller can read
     # the updated pivot row back from its VMEM ref with a dynamic slice,
