@@ -136,17 +136,48 @@ def main():
     def run_summary(base, drifts, T):
         A0 = base + drifts[0]
         c0, s0, n0 = act(A0, lbs, ubs, jnp.zeros((B, m), jnp.int32))
-        st0 = solve_b(A0, c0, s0, n0, jnp.zeros((B, n_var), dtype), False)
+        if mode == "tracked":
+            # carried-factorization warm tracker: iteration 0 of each
+            # warm solve runs as batched MXU matmuls with the previous
+            # solve's pivot order (lexls_tpu/tracker.py); only
+            # working-set-changing instances enter the Pallas kernel
+            from lexls_tpu import tracker as trk
 
-        def step(carry, drift_t):
-            x, ct = carry
-            A = base + drift_t
-            c, s, ns = act(A, lbs, ubs, ct)
-            st = solve_b(A, c, s, ns, x, True)
-            return (st.x, st.ctr_type), (st.status, st.it)
+            st0, factors = jli.solve_core_fused(
+                A0, lbs, ubs, c0, s0, n0, jnp.zeros((B, n_var), dtype), v0,
+                reg, struct=struct, params=params, x_guess_specified=False,
+                v0_specified=False, tile=tile, interpret=not on_tpu,
+                vmem_limit_mb=vmem_mb, compact=compact, tile_b=tile_b,
+                panel_unroll=panel_unroll, compact_rounds=compact_rounds,
+                return_factors=True)
 
-        (x, ct), (statuses, its) = lax.scan(
-            step, (st0.x, st0.ctr_type), drifts[1:T])
+            def step_t(carry, drift_t):
+                x, ct, car = carry
+                A = base + drift_t
+                c, s, ns = act(A, lbs, ubs, ct)
+                st, car = trk.solve_core_tracked(
+                    A, lbs, ubs, c, s, ns, x, v0, carried=car,
+                    struct=struct, params=params, tile=tile,
+                    interpret=not on_tpu, vmem_limit_mb=vmem_mb,
+                    compact=compact, tile_b=tile_b,
+                    compact_rounds=compact_rounds)
+                return (st.x, st.ctr_type, car), (st.status, st.it)
+
+            (x, ct, _), (statuses, its) = lax.scan(
+                step_t, (st0.x, st0.ctr_type, trk.bootstrap_carried(factors)),
+                drifts[1:T])
+        else:
+            st0 = solve_b(A0, c0, s0, n0, jnp.zeros((B, n_var), dtype), False)
+
+            def step(carry, drift_t):
+                x, ct = carry
+                A = base + drift_t
+                c, s, ns = act(A, lbs, ubs, ct)
+                st = solve_b(A, c, s, ns, x, True)
+                return (st.x, st.ctr_type), (st.status, st.it)
+
+            (x, ct), (statuses, its) = lax.scan(
+                step, (st0.x, st0.ctr_type), drifts[1:T])
         return (
             jnp.sum(x),
             (jnp.sum(statuses == 0) + jnp.sum(st0.status == 0)).astype(jnp.int32),

@@ -878,15 +878,58 @@ def solve_core_fused(
                  for j in range(p))
     elig = tuple(tuple(bool(e) for e in struct.sweep_eligible(j))
                  for j in range(p))
-    var_idx = struct.var_idx if struct.simple_bounds else ()
-
     with jax.default_matmul_precision("float32"):
         s = jax.vmap(
             lambda a, l, u, c, st, ns, x, v: _initial_state(
                 a, l, u, c, st, ns, x, v, struct, params, reg,
                 x_guess_specified, v0_specified)
         )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+        return _fused_tail(
+            A, s, None, struct=struct, params=params, tile=tile,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb,
+            compact=compact, tile_b=tile_b, panel_unroll=panel_unroll,
+            compact_rounds=compact_rounds, return_factors=return_factors)
 
+
+def _permute_rows(arr, hot):
+    """Permute rows by the one-hot matrix ``hot`` on the MXU.
+    A TPU row-gather dispatches one DMA per row (~10 us each, ~4 ms for
+    the full state at B=384 — measured to erase the compaction win); a
+    one-hot matmul moves the same data in ~0.1 ms and is EXACT: with 0/1
+    weights at HIGHEST precision every product is a representable value
+    or zero.  Integer arrays round-trip through f32 (all carried ints
+    are far below 2**24)."""
+    flat = arr.reshape(arr.shape[0], -1)
+    if jnp.issubdtype(arr.dtype, jnp.integer) or arr.dtype == bool:
+        out = jnp.dot(hot, flat.astype(jnp.float32),
+                      precision=lax.Precision.HIGHEST)
+        out = jnp.round(out).astype(arr.dtype)
+    else:
+        out = jnp.dot(hot.astype(arr.dtype), flat,
+                      precision=lax.Precision.HIGHEST)
+    return out.reshape(arr.shape)
+
+
+def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,
+                params: ParametersLexLSI, tile: int, interpret: bool,
+                vmem_limit_mb: int, compact: int, tile_b: int,
+                panel_unroll: int, compact_rounds: int,
+                return_factors: bool):
+    """Run the fused Pallas active-set kernel from an already-built
+    batched state ``s`` (phase 1 done, or a handed-over mid-solve state
+    with per-instance iteration counters ``it0``), with optional
+    iteration compaction.  Shared by :func:`solve_core_fused` and the
+    cross-solve warm tracker (:mod:`lexls_tpu.tracker`)."""
+    from .ops.fused import fused_active_set
+
+    p = len(struct.lexlse_dims)
+    prio = tuple(tuple(int(q) for q in struct.sweep_priority(j))
+                 for j in range(p))
+    elig = tuple(tuple(bool(e) for e in struct.sweep_eligible(j))
+                 for j in range(p))
+    var_idx = struct.var_idx if struct.simple_bounds else ()
+
+    with jax.default_matmul_precision("float32"):
         kw = dict(
             dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
             tol_ld=params.tol_linear_dependence,
@@ -899,7 +942,7 @@ def solve_core_fused(
             vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll)
         outs = fused_active_set(
             A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
-            s.Ax, s.n_fact, iter_cap=compact, **kw)
+            s.Ax, s.n_fact, it0=it0, iter_cap=compact, **kw)
         if compact:
             # iteration compaction: pause after `compact` iterations,
             # permute unconverged instances to the front (a tile whose

@@ -61,6 +61,33 @@ def solve_batched(
     )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
 
 
+def _local_solver(struct, params, x_guess_specified, v0_specified,
+                  mode, fused_kw):
+    """Per-shard solve function shared by the 1-axis and 2-axis mesh
+    builders: ``mode="xla"`` runs the vmapped general-tier solver,
+    ``mode="fused"`` the whole-solve Pallas kernel (the throughput tier —
+    BASELINE configs 4/5 ship the fast tier through this path)."""
+    if mode == "fused":
+        from ..lexlsi import solve_core_fused
+
+        def run(A, lb, ub, c0, s0, n0, x0, v0, reg):
+            return solve_core_fused(
+                A, lb, ub, c0, s0, n0, x0, v0, reg,
+                struct=struct, params=params,
+                x_guess_specified=x_guess_specified,
+                v0_specified=v0_specified, **fused_kw)
+    elif mode == "xla":
+        def run(A, lb, ub, c0, s0, n0, x0, v0, reg):
+            return solve_batched(
+                A, lb, ub, c0, s0, n0, x0, v0, reg,
+                struct=struct, params=params,
+                x_guess_specified=x_guess_specified,
+                v0_specified=v0_specified)
+    else:
+        raise ValueError(f"unknown mode {mode!r} (use 'xla' or 'fused')")
+    return run
+
+
 def make_sharded_solver(
     mesh: Mesh,
     struct: Structure,
@@ -68,13 +95,19 @@ def make_sharded_solver(
     axis: str = "batch",
     x_guess_specified: bool = False,
     v0_specified: bool = False,
+    mode: str = "xla",
+    **fused_kw,
 ):
     """Build a jitted multi-chip solver over ``mesh``.
 
     The batch axis of every per-instance array is sharded over ``axis``;
-    each chip runs the vmapped solver on its local shard (zero cross-chip
+    each chip runs the batched solver on its local shard (zero cross-chip
     communication in the solve itself), then global summary metrics are
-    reduced over ICI with ``psum``/``pmax``.
+    reduced over ICI with ``psum``/``pmax``.  ``mode="fused"`` runs the
+    whole-solve Pallas kernel per shard (extra keyword arguments — tile,
+    compact, vmem_limit_mb, interpret — are forwarded to
+    :func:`lexls_tpu.lexlsi.solve_core_fused`); the per-shard batch must
+    then be divisible by the kernel tile.
 
     Returns ``fn(A, lb, ub, ctr0, stamp0, next0, x0, v0, reg) ->
     (state, metrics)`` where ``metrics = {"solved": global count,
@@ -83,13 +116,11 @@ def make_sharded_solver(
     shard_map = jax.shard_map
 
     spec = P(axis)
+    run = _local_solver(struct, params, x_guess_specified, v0_specified,
+                        mode, fused_kw)
 
     def local_solve(A, lb, ub, c0, s0, n0, x0, v0, reg):
-        st = solve_batched(
-            A, lb, ub, c0, s0, n0, x0, v0, reg,
-            struct=struct, params=params,
-            x_guess_specified=x_guess_specified, v0_specified=v0_specified,
-        )
+        st = run(A, lb, ub, c0, s0, n0, x0, v0, reg)
         solved = jax.lax.psum(jnp.sum(st.status == 0).astype(jnp.int32), axis)
         max_it = jax.lax.pmax(jnp.max(st.it), axis)
         sum_it = jax.lax.psum(jnp.sum(st.it).astype(jnp.int32), axis)
@@ -155,20 +186,21 @@ def make_sharded_solver_2d(
     params: ParametersLexLSI,
     x_guess_specified: bool = False,
     v0_specified: bool = False,
+    mode: str = "xla",
+    **fused_kw,
 ):
     """Multi-host variant of :func:`make_sharded_solver`: the batch axis
     is sharded over both mesh axes (("dcn", "ici") from
-    :func:`make_host_mesh`); metrics reduce over both."""
+    :func:`make_host_mesh`); metrics reduce over both.  ``mode="fused"``
+    runs the whole-solve Pallas kernel per shard."""
     shard_map = jax.shard_map
     axes = tuple(mesh.axis_names)
     spec = P(axes)
+    run = _local_solver(struct, params, x_guess_specified, v0_specified,
+                        mode, fused_kw)
 
     def local_solve(A, lb, ub, c0, s0, n0, x0, v0, reg):
-        st = solve_batched(
-            A, lb, ub, c0, s0, n0, x0, v0, reg,
-            struct=struct, params=params,
-            x_guess_specified=x_guess_specified, v0_specified=v0_specified,
-        )
+        st = run(A, lb, ub, c0, s0, n0, x0, v0, reg)
         solved = jax.lax.psum(jnp.sum(st.status == 0).astype(jnp.int32), axes)
         max_it = jax.lax.pmax(jnp.max(st.it), axes)
         sum_it = jax.lax.psum(jnp.sum(st.it).astype(jnp.int32), axes)

@@ -163,3 +163,78 @@ def solve_sequence_batched_native(
         cat(st0.x, outs[0]), cat(st0.v, outs[1]), cat(st0.status, outs[2]),
         cat(st0.it, outs[3]), cat(st0.n_fact, outs[4]), cat(st0.ctr_type, outs[5]),
     )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "struct", "params", "tile", "interpret", "vmem_limit_mb", "compact",
+    "tile_b", "compact_rounds", "tracked"))
+def solve_sequence_batched_fused(
+    A_seq, lb_seq, ub_seq, reg,
+    struct: Structure, params: ParametersLexLSI,
+    tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 100,
+    compact: int = 1, tile_b: int = 0, compact_rounds: int = 1,
+    tracked: bool = False,
+):
+    """Batched warm-started sequences through the fused whole-solve
+    Pallas kernel (the throughput tier the bench measures), as a library
+    API: ``A_seq`` is (B, T, m, n), step 0 solves cold, steps t>0 warm
+    start from step t-1's {x, active set}.
+
+    ``tracked=True`` additionally carries the final factorization across
+    steps and runs iteration 0 of each warm solve on the MXU with the
+    carried pivot order (:mod:`lexls_tpu.tracker`), falling back to the
+    kernel per instance — exceeds the reference's capability (no
+    factorization reuse, ``README.md:14``); x/v parity is preserved,
+    trajectories may differ on rejected carries.
+
+    Same outputs as :func:`solve_sequence_batched` (each (B, T, ...)).
+    """
+    from .lexlsi import solve_core_fused
+    from . import tracker as trk
+
+    B, T = A_seq.shape[:2]
+    dtype = A_seq.dtype
+    m, n = struct.m, struct.n_var
+    kw = dict(struct=struct, params=params, tile=tile, interpret=interpret,
+              vmem_limit_mb=vmem_limit_mb, compact=compact, tile_b=tile_b,
+              compact_rounds=compact_rounds)
+
+    act = jax.vmap(
+        lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
+
+    c0, s0, n0 = act(A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0],
+                     jnp.zeros((B, m), jnp.int32))
+    st0, factors0 = solve_core_fused(
+        A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
+        jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype), reg,
+        x_guess_specified=False, v0_specified=False, return_factors=True,
+        **kw)
+
+    def step(carry, inputs):
+        x_prev, ct_prev, carried = carry
+        A, lb, ub = inputs
+        c, s, ns = act(A, lb, ub, ct_prev)
+        if tracked:
+            st, carried = trk.solve_core_tracked(
+                A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype),
+                carried=carried, **kw)
+        else:
+            st = solve_core_fused(
+                A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype), reg,
+                x_guess_specified=True, v0_specified=False, **kw)
+        out = (st.x, st.v, st.status, st.it, st.n_fact, st.ctr_type)
+        return (st.x, st.ctr_type, carried), out
+
+    carried0 = trk.bootstrap_carried(factors0)
+    xs_in = (jnp.swapaxes(A_seq[:, 1:], 0, 1),
+             jnp.swapaxes(lb_seq[:, 1:], 0, 1),
+             jnp.swapaxes(ub_seq[:, 1:], 0, 1))
+    _, outs = lax.scan(step, (st0.x, st0.ctr_type, carried0), xs_in)
+
+    def cat(a, b):  # b is (T-1, B, ...) -> (B, T, ...)
+        return jnp.concatenate([a[:, None], jnp.swapaxes(b, 0, 1)], axis=1)
+
+    return (
+        cat(st0.x, outs[0]), cat(st0.v, outs[1]), cat(st0.status, outs[2]),
+        cat(st0.it, outs[3]), cat(st0.n_fact, outs[4]), cat(st0.ctr_type, outs[5]),
+    )

@@ -1,0 +1,478 @@
+"""Cross-solve warm-start tracker: iteration 0 on the MXU.
+
+The reference's design point is warm-started IK sequences
+(``/root/reference/README.md:14``): consecutive problems differ by a
+small drift, and the final active set of solve *t* seeds solve *t+1*
+(``doc/hot_start.tex:437-571``).  In that regime, iteration 0 of solve
+*t+1* factorizes almost the same matrix as the final iteration of solve
+*t* — yet the reference (and our fused kernel) rebuilds the
+column-pivoted l-QR from scratch, a serial chain of ~n pivot steps that
+no amount of batching can shorten (``lexlse.h:117-506`` refactorizes
+every iteration; the reference has **no** factorization reuse).
+
+This module re-factorizes with the CARRIED pivot order instead:
+
+* ``M = B̃_P · Rinv_old`` (the drifted pivot block times the carried
+  inverse triangular factor) is near-orthonormal under drift, so a few
+  Newton–Schulz inverse-square-root iterations re-orthonormalize it —
+  nothing but batched MXU matmuls, no serial dependency chains;
+* the rank pattern is VERIFIED post-hoc: ``‖MᵀM − I‖_max`` bounds the
+  pivot block's conditioning drift (a pivot column going dependent
+  drives it to ~1), and the trailing column-norm test (norms after
+  projecting out Q below ``tol_linear_dependence``) certifies that no
+  new pivot is needed — the same acceptance rule the greedy panel
+  enforces, checked at the same float precision;
+* instances that pass and terminate (no blocking constraint, no
+  wrong-sign multiplier) are DONE after one tracker iteration at
+  batched-matmul cost; everything else falls back into the fused Pallas
+  kernel, entering at iteration 1 with the tracker's working-set update
+  already applied — or at iteration 0 untouched when verification
+  failed.
+
+Correctness envelope (opt-in mode): when verification accepts, the
+pivot SET equals the previous solve's and the per-level residuals v are
+pivot-order invariant, so x/v match the from-scratch solver to solver
+tolerance; the working-set TRAJECTORY can differ from the reference on
+degenerate ties (accepted — x/v parity is the criterion, PARITY.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .lexlsi import (Structure, _check_blocking, _form_step,
+                     _initial_state, _masked_general,
+                     _permute_rows, _fused_tail)
+from .ops.tri import tri_inv_upper
+from .types import (CtrType, LexLSError, ParametersLexLSI,
+                    RegularizationType, TerminationStatus)
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+class Carried(NamedTuple):
+    """Carried factorization of the previous solve's final working set.
+
+    ``rinv``  (B, p, K, K) — per level, R^{-1} in pivot order (rows and
+    columns at or beyond the level's rank are zero);
+    ``pos``   (B, n) int32 — final virtual column positions (pos[c] is
+    the pivot slot of physical column c; slots are globally numbered in
+    factorization order);
+    ``ranks`` (B, p) int32 — per-level realized ranks."""
+
+    rinv: jax.Array
+    pos: jax.Array
+    ranks: jax.Array
+
+
+def kmax_of(struct: Structure) -> int:
+    n = struct.n_var
+    return max(1, max((min(d, n) for d in struct.lexlse_dims), default=1))
+
+
+def bootstrap_carried(factors: Tuple[jax.Array, jax.Array, jax.Array]) -> Carried:
+    """Build the carried state from the fused kernel's final-factor
+    export (``solve_core_fused(..., return_factors=True)``): invert the
+    per-level triangular R blocks by Newton–Schulz doubling (exact in
+    ceil(log2 K) matmul rounds, :func:`lexls_tpu.ops.tri.tri_inv_upper`)."""
+    rpad, pos, ranks = factors
+    K = rpad.shape[-1]
+    jm = jnp.arange(K, dtype=jnp.int32)
+    live = jm[None, None, :] < ranks[..., None]               # (B, p, K)
+    live2 = live[..., :, None] & live[..., None, :]
+    eye = jnp.eye(K, dtype=rpad.dtype)
+    r_safe = jnp.where(live2, jnp.triu(rpad), eye)
+    rinv = tri_inv_upper(r_safe) * live2.astype(rpad.dtype)
+    return Carried(rinv=rinv, pos=pos, ranks=ranks)
+
+
+def _ns_invsqrt(G: jax.Array, iters: int) -> jax.Array:
+    """Coupled Newton–Schulz iteration for G^{-1/2} of an SPD matrix
+    near the identity (quadratic convergence for ||G − I|| < 1)."""
+    K = G.shape[-1]
+    eye = jnp.eye(K, dtype=G.dtype)
+    Y, Z = G, jnp.broadcast_to(eye, G.shape)
+    for _ in range(iters):
+        T = 1.5 * eye - 0.5 * (Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    return Z
+
+
+def _hot_factorize(Ag, bg, carried: Carried, struct: Structure,
+                   params: ParametersLexLSI, *, gtol: float, ns_iters: int):
+    """Re-factorize the masked staircase with the carried pivot order.
+
+    Returns ``(ok, stash, fcs)``: per-instance acceptance flag, per-level
+    ``(hot, Q, W, rinv_new, Lp)`` stashes, and per-level first pivot
+    slots.  All operations are batched matmuls / reductions — the MXU
+    replacement for the serial pivoted panel (``lexlse.h:182-268``)."""
+    dims = struct.lexlse_dims
+    p = len(dims)
+    n = struct.n_var
+    B = Ag.shape[0]
+    dtype = Ag.dtype
+    K = carried.rinv.shape[-1]
+    tol_ld = params.tol_linear_dependence
+
+    block = jnp.concatenate([Ag, bg[:, :, None]], axis=2)     # (B, mg, n+1)
+    pos = carried.pos
+    ranks = carried.ranks
+    fcs = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(ranks[:, :-1], axis=1)],
+        axis=1)                                               # (B, p)
+    iota_k = jnp.arange(K, dtype=jnp.int32)
+    ok = jnp.ones((B,), bool)
+
+    offsets = []
+    ofs = 0
+    for d in dims:
+        offsets.append(ofs)
+        ofs += d
+
+    stash = []
+    hp = lax.Precision.HIGHEST
+    for k, (fr, dim) in enumerate(zip(offsets, dims)):
+        if dim == 0:
+            stash.append(None)
+            continue
+        rank_k = ranks[:, k]                                   # (B,)
+        fc_k = fcs[:, k]
+        live = iota_k[None, :] < rank_k[:, None]               # (B, K)
+        live2 = live[:, :, None] & live[:, None, :]
+        # one-hot slot -> column map of this level's carried pivots
+        hot = ((pos[:, None, :] == fc_k[:, None, None] + iota_k[None, :, None])
+               & live[:, :, None]).astype(dtype)               # (B, K, n)
+
+        lvl = block[:, fr:fr + dim, :]                         # (B, dim, n+1)
+        P0 = jnp.einsum("bdn,bkn->bdk", lvl[:, :, :n], hot, precision=hp)
+        rinv_k = carried.rinv[:, k]
+        M = jnp.matmul(P0, rinv_k, precision=hp)               # (B, dim, K)
+        G = jnp.einsum("bdi,bdj->bij", M, M, precision=hp)
+        eye = jnp.eye(K, dtype=dtype)
+        Gt = jnp.where(live2, G, eye)
+        dev = jnp.max(jnp.abs(Gt - eye), axis=(1, 2))
+        ok = ok & (dev < gtol)
+
+        Z = _ns_invsqrt(Gt, ns_iters) * live2.astype(dtype)
+        Q = jnp.matmul(M, Z, precision=hp)                     # (B, dim, K)
+        rinv_new = jnp.matmul(rinv_k, Z, precision=hp)
+        W = jnp.einsum("bdk,bdc->bkc", Q, lvl, precision=hp)   # (B, K, n+1)
+
+        # rank-growth test: any column at a position beyond this level's
+        # pivots whose residual norm after projecting out Q reaches the
+        # dependence tolerance would have been pivoted by the greedy
+        # panel (``lexlse.h:205-217``) — reject the carried pattern
+        cn = (jnp.sum(lvl[:, :, :n] * lvl[:, :, :n], axis=1)
+              - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1))    # (B, n)
+        beyond = pos >= (fc_k + rank_k)[:, None]
+        ok = ok & (jnp.max(jnp.where(beyond, cn, 0.0), axis=1) < tol_ld)
+
+        # Gauss elimination of all lower-priority rows
+        # (``lexlse.h:431-471``): L = B_P R^{-1}; applying the full
+        # R-frame rows W cancels the pivot columns exactly
+        below = block[:, fr + dim:, :]
+        below_p = jnp.einsum("bmn,bkn->bmk", below[:, :, :n], hot,
+                             precision=hp)
+        Lp = jnp.matmul(below_p, rinv_new, precision=hp)
+        if below.shape[1]:
+            below = below - jnp.matmul(Lp, W, precision=hp)
+            block = jnp.concatenate([block[:, : fr + dim], below], axis=1)
+
+        stash.append((hot, Q, W, rinv_new, Lp))
+
+    return ok, stash, fcs
+
+
+def _hot_solve(stash, fcs, pos, fixed_mask, fixed_val, struct: Structure):
+    """Basic solve through the carried staircase (bottom level up,
+    ``lexlse.h:1015-1045``); free variables are zero."""
+    p = len(struct.lexlse_dims)
+    n = struct.n_var
+    hp = lax.Precision.HIGHEST
+    B = pos.shape[0]
+    dtype = fixed_val.dtype
+    x_var = jnp.zeros((B, n), dtype)
+    for k in range(p - 1, -1, -1):
+        if stash[k] is None:
+            continue
+        hot, _, W, rinv_new, _ = stash[k]
+        trail = (pos >= fcs[:, k][:, None]).astype(dtype)      # (B, n)
+        rhs = W[:, :, n] - jnp.einsum(
+            "bkn,bn->bk", W[:, :, :n] * trail[:, None, :], x_var,
+            precision=hp)
+        y = jnp.einsum("bij,bj->bi", rinv_new, rhs, precision=hp)
+        x_var = x_var + jnp.einsum("bk,bkn->bn", y, hot, precision=hp)
+    return jnp.where(fixed_mask, fixed_val, x_var)
+
+
+def _hot_lambda(stash, v_plus_dv, struct: Structure, dims_offsets):
+    """All objectives' multipliers from the carried factorization.
+
+    Row space identity: for objective k the multiplier of level k's own
+    constraints is the optimal residual A x* − rhs on active rows,
+    which equals v + dv at the pre-step state (``_form_step`` anchors dv
+    to the rhs) — no Householder replay needed.  Higher-objective
+    multipliers back-propagate through Q_k = B̃_P R^{-1} and the Gauss
+    L-factors, mirroring the fused kernel's transposed sweep
+    (``ObjectiveSensitivity``, ``lexlse.h:611-762``)."""
+    p = len(struct.lexlse_dims)
+    d0 = struct.d0
+    mg = struct.m - d0
+    B = v_plus_dv.shape[0]
+    dtype = v_plus_dv.dtype
+    hp = lax.Precision.HIGHEST
+    K = stash[next(i for i in range(p) if stash[i] is not None)][1].shape[-1] \
+        if any(s is not None for s in stash) else 1
+
+    zc = [jnp.zeros((B, p, K), dtype) for _ in range(p)]
+    lam_parts = [None] * p
+    jvec = jnp.arange(p, dtype=jnp.int32)[None, :, None]
+    for k in range(p - 1, -1, -1):
+        fr, dim = dims_offsets[k], struct.lexlse_dims[k]
+        if stash[k] is None:
+            lam_parts[k] = jnp.zeros((B, p, dim), dtype)
+            continue
+        hot, Q, W, rinv_new, Lp = stash[k]
+        seg_gt = jnp.einsum("bpk,bdk->bpd", zc[k], Q, precision=hp)
+        seg_kk = v_plus_dv[:, d0 + fr: d0 + fr + dim]
+        seg = jnp.where(jvec == k, seg_kk[:, None, :], seg_gt)
+        seg = jnp.where(jvec >= k, seg, 0.0)
+        lam_parts[k] = seg
+        for j in range(k):
+            if stash[j] is None:
+                continue
+            off = fr - (dims_offsets[j] + struct.lexlse_dims[j])
+            sl = stash[j][4][:, off: off + dim, :]
+            zc[j] = zc[j] - jnp.einsum("bpd,bdk->bpk", seg, sl, precision=hp)
+    return jnp.concatenate(lam_parts, axis=2)                  # (B, p, mg)
+
+
+def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
+                    params: ParametersLexLSI):
+    """Batched removal selection (``findActiveCtr2Remove``,
+    ``lexlsi.h:1048-1139``) — the same predicated objective sweep the
+    fused kernel runs, in XLA."""
+    p = len(struct.lexlse_dims)
+    d0 = struct.d0
+    m = struct.m
+    B = ct.shape[0]
+    dtype = lam_all.dtype
+    iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+    tol_correct = params.tol_correct_sign_lambda
+    tol_wrong = params.tol_wrong_sign_lambda
+
+    sense = ct
+    found = jnp.zeros((B, 1), bool)
+    sel_row = jnp.full((B, 1), -1, jnp.int32)
+    if struct.simple_bounds:
+        vm = jnp.zeros((d0, struct.n_var), dtype).at[
+            jnp.arange(d0), jnp.asarray(struct.var_idx_np)].set(1.0)
+    for j in range(p):
+        lam_j = lam_all[:, j, :]
+        if d0:
+            lam_fixed = -jnp.einsum("bmn,bm->bn", Agm, lam_j,
+                                    precision=lax.Precision.HIGHEST)
+            lam_fixed = lam_fixed * fixed_mask.astype(dtype)
+            vals0 = jnp.einsum("dn,bn->bd", vm, lam_fixed,
+                               precision=lax.Precision.HIGHEST)
+            vals = jnp.concatenate([vals0, lam_j], axis=1)
+        else:
+            vals = lam_j
+        eligible = jnp.asarray(np.asarray(struct.sweep_eligible(j)))[None, :]
+        a = jnp.where(ct == int(CtrType.ACTIVE_LB), -vals, vals)
+        consider = eligible & (
+            (sense == int(CtrType.ACTIVE_LB))
+            | (sense == int(CtrType.ACTIVE_UB)))
+        mark = consider & (a > tol_correct)
+        wrong = consider & (a < -tol_wrong)
+        sense = jnp.where(mark & jnp.logical_not(found),
+                          int(CtrType.CORRECT_SIGN_OF_LAMBDA), sense)
+        found_j = jnp.any(wrong, axis=1, keepdims=True)
+        if params.deactivate_first_wrong_sign:
+            key = jnp.where(wrong, st, _INT_MAX)
+            kmin = jnp.min(key, axis=1, keepdims=True)
+            first = wrong & (st == kmin)
+            row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
+                            keepdims=True).astype(jnp.int32)
+        else:
+            amask = jnp.where(wrong, a, jnp.asarray(jnp.inf, dtype))
+            amin = jnp.min(amask, axis=1, keepdims=True)
+            tie = wrong & (a == amin)
+            prio = jnp.asarray(
+                np.asarray(struct.sweep_priority(j), np.int32))[None, :]
+            pmin = jnp.min(jnp.where(tie, prio, _INT_MAX), axis=1,
+                           keepdims=True)
+            first = tie & (prio == pmin)
+            row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
+                            keepdims=True).astype(jnp.int32)
+        commit = found_j & jnp.logical_not(found)
+        sel_row = jnp.where(commit, row_j, sel_row)
+        found = found | found_j
+    return found[:, 0], sel_row[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "params", "tile", "interpret",
+                     "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
+                     "compact_rounds", "gtol", "ns_iters"),
+)
+def solve_core_tracked(
+    A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
+    carried: Carried,
+    struct: Structure, params: ParametersLexLSI,
+    tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
+    compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
+    compact_rounds: int = 1,
+    gtol: float = 0.25, ns_iters: int = 3,
+):
+    """Batched warm solve with carried-factorization iteration 0.
+
+    Same configuration envelope as :func:`lexls_tpu.lexlsi.solve_core_fused`
+    (no regularization / cycling / log / trace).  ``carried`` comes from
+    :func:`bootstrap_carried` of a previous solve's factors (or this
+    function's own second return value).  Returns ``(state, carried')``.
+    """
+    if params.regularization_type != RegularizationType.NONE:
+        raise LexLSError("solve_core_tracked: regularization unsupported")
+    if (params.cycling_handling_enabled or params.log_working_set_enabled
+            or params.trace_enabled or params.use_phase1_v0):
+        raise LexLSError(
+            "solve_core_tracked: cycling/log/trace/use_phase1_v0 unsupported")
+    B, m, n = A.shape
+    p = len(struct.lexlse_dims)
+    dtype = A.dtype
+    d0 = struct.d0
+    max_fact = params.max_number_of_factorizations
+    offsets = []
+    ofs = 0
+    for d in struct.lexlse_dims:
+        offsets.append(ofs)
+        ofs += d
+
+    with jax.default_matmul_precision("float32"):
+        s = jax.vmap(
+            lambda a, l, u, c, st, ns, x, v: _initial_state(
+                a, l, u, c, st, ns, x, v, struct, params, None,
+                True, False)
+        )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+
+        # ---- masked subproblem + carried-order factorization
+        Ag, bg, fixed_mask, fixed_val = jax.vmap(
+            lambda a, l, u, c: _masked_general(a, l, u, c, struct)
+        )(A, s.lb, s.ub, s.ctr_type)
+        ok, stash, fcs = _hot_factorize(
+            Ag, bg, carried, struct, params, gtol=gtol, ns_iters=ns_iters)
+
+        # ---- one active-set iteration at the hot factorization
+        x_star = _hot_solve(stash, fcs, carried.pos, fixed_mask, fixed_val,
+                            struct)
+        dx = x_star - s.x
+        Adx, dv = jax.vmap(
+            lambda a, l, u, c, ax, v_, d: _form_step(a, l, u, c, ax, v_, d)
+        )(A, s.lb, s.ub, s.ctr_type, s.Ax, s.v, dx)
+        alpha, brow, btype = jax.vmap(
+            lambda c, ax, adx, v_, dv_, l, u: _check_blocking(
+                c, ax, adx, v_, dv_, l, u,
+                jnp.asarray(params.tol_feasibility, dtype), dtype)
+        )(s.ctr_type, s.Ax, Adx, s.v, dv, s.lb, s.ub)
+        blocking = brow >= 0
+
+        lam_all = _hot_lambda(stash, s.v + dv, struct, offsets)
+        found_rm, rrow = _select_removal(
+            lam_all, s.ctr_type, s.stamp, Ag, fixed_mask, struct, params)
+        want_sweep = jnp.logical_not(blocking)
+        do_remove = want_sweep & found_rm
+        solved = want_sweep & jnp.logical_not(found_rm)
+
+        # ---- working-set update + step (``lexlsi.h:1144-1265``)
+        iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+        brow_hot = iota_m == brow[:, None]
+        rrow_hot = iota_m == rrow[:, None]
+        blk2 = blocking[:, None]
+        rm2 = do_remove[:, None]
+        ctr_type = jnp.where(blk2 & brow_hot, btype[:, None],
+                             jnp.where(rm2 & rrow_hot,
+                                       int(CtrType.INACTIVE), s.ctr_type))
+        stamp = jnp.where(blk2 & brow_hot, s.next_stamp[:, None],
+                          jnp.where(rm2 & rrow_hot, -1, s.stamp))
+        next_stamp = s.next_stamp + blocking.astype(jnp.int32)
+        take = (alpha > 0.0).astype(dtype)[:, None]
+        x = s.x + take * alpha[:, None] * dx
+        v = s.v + take * alpha[:, None] * dv
+        Ax = s.Ax + take * alpha[:, None] * Adx
+
+        status = jnp.where(solved, int(TerminationStatus.PROBLEM_SOLVED),
+                           s.status)
+        s1 = dataclasses.replace(
+            s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ctr_type,
+            stamp=stamp, next_stamp=next_stamp, it=s.it + 1,
+            n_act=s.n_act + blocking.astype(jnp.int32),
+            n_deact=s.n_deact + do_remove.astype(jnp.int32),
+            n_fact=s.n_fact, status=status)
+
+        # ---- route: accepted instances continue from the tracker's
+        # state (it0 = 1); rejected ones re-enter untouched (it0 = 0)
+        s_in = jax.tree_util.tree_map(
+            lambda a_t, a_0: jnp.where(
+                ok.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_0),
+            s1, s)
+        it0 = jnp.where(ok, 1, 0).astype(jnp.int32)
+        resolved = ok & solved
+        # terminated instances must not re-run in the kernel: status is
+        # not a kernel input, so park them via the factorization budget
+        # (their kernel outputs are discarded below)
+        s_in = dataclasses.replace(
+            s_in, n_fact=jnp.where(resolved, max_fact, s_in.n_fact))
+
+        # cluster unresolved instances to the front so resolved tiles
+        # exit immediately
+        order = jnp.argsort(resolved)
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+        hot_b = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
+        g = lambda arr: _permute_rows(arr, hot_b)
+        s_perm = jax.tree_util.tree_map(g, s_in)
+        st_k, factors_k = _fused_tail(
+            g(A), s_perm, g(it0), struct=struct, params=params, tile=tile,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb,
+            compact=compact, tile_b=tile_b, panel_unroll=panel_unroll,
+            compact_rounds=compact_rounds, return_factors=True)
+        hot_t = hot_b.T
+        gi = lambda arr: _permute_rows(arr, hot_t)
+        st_k = jax.tree_util.tree_map(gi, st_k)
+        factors_k = jax.tree_util.tree_map(gi, factors_k)
+
+        # ---- merge: resolved instances keep the tracker's result
+        res = resolved
+        final = jax.tree_util.tree_map(
+            lambda a_t, a_k: jnp.where(
+                res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
+            s1, st_k)
+        # kernel phases restart n_act/n_deact at zero: add the tracker's
+        final = dataclasses.replace(
+            final,
+            n_act=jnp.where(res, s1.n_act, st_k.n_act + s1.n_act * ok),
+            n_deact=jnp.where(res, s1.n_deact,
+                              st_k.n_deact + s1.n_deact * ok),
+        )
+
+        # ---- carried state for the next solve
+        rinv_new = jnp.stack(
+            [jnp.zeros_like(carried.rinv[:, 0]) if stash[k] is None
+             else stash[k][3] for k in range(p)], axis=1)
+        carried_t = Carried(rinv=rinv_new, pos=carried.pos,
+                            ranks=carried.ranks)
+        carried_k = bootstrap_carried(factors_k)
+        carried_new = jax.tree_util.tree_map(
+            lambda a_t, a_k: jnp.where(
+                res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
+            carried_t, carried_k)
+        return final, carried_new

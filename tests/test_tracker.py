@@ -1,0 +1,174 @@
+"""Cross-solve warm tracker (lexls_tpu/tracker.py) parity tests.
+
+The tracker re-factorizes warm solves with the carried pivot order
+(batched Newton–Schulz orthogonalization) and verifies the rank pattern
+post-hoc; rejected instances fall back into the fused kernel.  These
+tests drive drifting sequences — small drift (carry accepted), large
+kicks (working-set changes, handover), and rank perturbations
+(verification failure) — and require status equality and per-level
+residual-norm parity with the XLA tier (x itself is pivot-set dependent
+under degeneracy; v is not — PARITY.md criterion)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lexls_tpu.lexlsi as jli
+from lexls_tpu import tracker, types as T
+from lexls_tpu.oracle import generate as gen
+from lexls_tpu.parallel import batched_initial_arrays, solve_batched
+from lexls_tpu.sequence import (_device_initial_activation,
+                                solve_sequence_batched,
+                                solve_sequence_batched_fused)
+
+
+def _level_norms(v, struct):
+    out = []
+    fr = 0
+    dims = ([struct.d0] if struct.simple_bounds else []) + list(struct.lexlse_dims)
+    for d in dims:
+        out.append(np.linalg.norm(v[:, fr:fr + d], axis=1))
+        fr += d
+    return np.stack(out, axis=1)
+
+
+def _drive(trial, kicks, B=8):
+    rng = np.random.default_rng(900 + trial)
+    n = int(rng.integers(6, 14))
+    p = int(rng.integers(2, 5))
+    dims = [int(rng.integers(2, 7)) for _ in range(p)]
+    simple = bool(rng.random() < 0.4) and dims[0] <= n
+    ranks = ([min(d, int(rng.integers(1, d + 1))) for d in dims]
+             if rng.random() < 0.5 else None)
+    prob = gen.random_inequality_hierarchy(
+        rng, n, dims, ranks=ranks, equality_fraction=rng.random() * 0.3,
+        tight_fraction=rng.random() * 0.5, simple_bounds=simple)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(
+        max_number_of_factorizations=80,
+        deactivate_first_wrong_sign=bool(rng.random() < 0.5))
+    dt = jnp.float64
+    m = prob.n_ctr
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    base = np.stack([prob.A + 5e-3 * rng.standard_normal(prob.A.shape)
+                     for _ in range(B)])
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    reg = jnp.asarray(prob.regularization, dt)
+
+    st, factors = jli.solve_core_fused(
+        jnp.asarray(base, dt), lbs, ubs, c0, s0, n0, xz, v0, reg,
+        struct=struct, params=params, x_guess_specified=False,
+        v0_specified=False, tile=B, interpret=True, return_factors=True)
+    carried = tracker.bootstrap_carried(factors)
+    act = jax.vmap(
+        lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
+    x_prev, ct_prev = st.x, st.ctr_type
+    for t, kick in enumerate(kicks):
+        A_t = jnp.asarray(base + kick * rng.standard_normal(prob.A.shape), dt)
+        c, s_, ns = act(A_t, lbs, ubs, ct_prev)
+        ref = solve_batched(A_t, lbs, ubs, c, s_, ns, x_prev, v0, reg,
+                            struct=struct, params=params,
+                            x_guess_specified=True)
+        stt, carried = tracker.solve_core_tracked(
+            A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
+            struct=struct, params=params, tile=B, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(stt.status), np.asarray(ref.status),
+            err_msg=f"trial {trial} step {t}")
+        np.testing.assert_allclose(
+            _level_norms(np.asarray(stt.v), struct),
+            _level_norms(np.asarray(ref.v), struct),
+            atol=1e-7, err_msg=f"trial {trial} step {t}")
+        x_prev, ct_prev = stt.x, stt.ctr_type
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_tracked_small_drift(trial):
+    """Small drift: the carry is accepted, most instances resolve in the
+    tracker; x/v and statuses must match the XLA tier."""
+    _drive(trial, kicks=(0.003, 0.005, 0.004))
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_tracked_kicks_and_fallback(trial):
+    """Large kicks force working-set changes (kernel handover) and
+    verification failures (full fallback)."""
+    _drive(trial, kicks=(0.05, 0.3, 0.05))
+
+
+def test_tracked_exact_trajectory_small_drift():
+    """On accepted carries the working-set trajectory itself matches the
+    from-scratch solver (same pivot sets => same x => same ratio tests)."""
+    rng = np.random.default_rng(42)
+    prob = gen.random_inequality_hierarchy(
+        rng, 12, [5, 5, 5], equality_fraction=0.15, tight_fraction=0.35)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(max_number_of_factorizations=80)
+    B, dt = 8, jnp.float64
+    m = prob.n_ctr
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    base = np.stack([prob.A + 2e-3 * rng.standard_normal(prob.A.shape)
+                     for _ in range(B)])
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    reg = jnp.asarray(prob.regularization, dt)
+    st, factors = jli.solve_core_fused(
+        jnp.asarray(base, dt), lbs, ubs, c0, s0, n0, xz, v0, reg,
+        struct=struct, params=params, x_guess_specified=False,
+        v0_specified=False, tile=B, interpret=True, return_factors=True)
+    carried = tracker.bootstrap_carried(factors)
+    act = jax.vmap(
+        lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
+    x_prev, ct_prev = st.x, st.ctr_type
+    for t in range(3):
+        A_t = jnp.asarray(base + 1e-3 * (t + 1)
+                          * rng.standard_normal(prob.A.shape), dt)
+        c, s_, ns = act(A_t, lbs, ubs, ct_prev)
+        ref = solve_batched(A_t, lbs, ubs, c, s_, ns, x_prev, v0, reg,
+                            struct=struct, params=params,
+                            x_guess_specified=True)
+        stt, carried = tracker.solve_core_tracked(
+            A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
+            struct=struct, params=params, tile=B, interpret=True)
+        np.testing.assert_array_equal(np.asarray(stt.status),
+                                      np.asarray(ref.status))
+        np.testing.assert_array_equal(np.asarray(stt.it), np.asarray(ref.it))
+        np.testing.assert_array_equal(np.asarray(stt.ctr_type),
+                                      np.asarray(ref.ctr_type))
+        np.testing.assert_allclose(np.asarray(stt.x), np.asarray(ref.x),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(stt.v), np.asarray(ref.v),
+                                   atol=1e-8)
+        x_prev, ct_prev = stt.x, stt.ctr_type
+
+
+def test_sequence_batched_fused_and_tracked():
+    """The library sequence drivers (fused tier, VERDICT round-2 item 3)
+    match the vmapped XLA sequence driver."""
+    rng = np.random.default_rng(11)
+    prob = gen.random_inequality_hierarchy(
+        rng, 10, [4, 4, 4], equality_fraction=0.15, tight_fraction=0.4)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(max_number_of_factorizations=80)
+    B, Tn, dt = 4, 5, jnp.float64
+    m = prob.n_ctr
+    A_seq = jnp.asarray(np.stack([
+        np.stack([prob.A + 3e-3 * (t + 1) * rng.standard_normal(prob.A.shape)
+                  for t in range(Tn)]) for _ in range(B)]), dt)
+    lb_seq = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, Tn, m))
+    ub_seq = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, Tn, m))
+    reg = jnp.asarray(prob.regularization, dt)
+    ref = solve_sequence_batched(A_seq, lb_seq, ub_seq, reg,
+                                 struct=struct, params=params)
+    for tracked in (False, True):
+        out = solve_sequence_batched_fused(
+            A_seq, lb_seq, ub_seq, reg, struct=struct, params=params,
+            tile=B, interpret=True, vmem_limit_mb=0, compact=1,
+            tracked=tracked)
+        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                                   atol=1e-8)
