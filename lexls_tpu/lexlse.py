@@ -535,18 +535,13 @@ def factorize_fast(
     (``lexlse.h:205-211``): among equal column norms the smallest
     *position* wins (realized as argmin of position over the argmax set).
 
-    Regularization: every variant except TIKHONOV_1 is supported — the
-    regularizers only read the level rows in *position* space (one
-    gather through ``col_at`` per level) and write the RHS column, which
-    both layouts share.  TIKHONOV_1's regularized-multiplier machinery
-    (X_mu / damped residuals) stays on :func:`factorize`.
+    Regularization: every variant is supported — the regularizers only
+    read the level rows in *position* space (one gather through
+    ``col_at`` per level) and write the RHS column, which both layouts
+    share; TIKHONOV_1's regularized-multiplier machinery (X_mu / damped
+    residuals, ``lexlse.h:1774-1886``) gathers its position-space views
+    the same way.
     """
-    from .regularization import FAST_TIER_TYPES
-
-    if params.regularization_type not in FAST_TIER_TYPES:
-        raise ValueError(
-            f"factorize_fast does not support {params.regularization_type!r}"
-            " (use factorize)")
     m, n = A.shape
     dtype = A.dtype
     n_obj = len(dims)
@@ -575,6 +570,14 @@ def factorize_fast(
     if reg_factors is None:
         reg_factors = jnp.zeros((n_obj,), dtype)
 
+    # regularized-multiplier tracking (TIKHONOV_1; reference
+    # ``regularize_tikhonov_1_test``, ``lexlse.h:1774-1886``) — the same
+    # machinery as the physical tier, with every position-space read
+    # realized as a gather through ``col_at``
+    track_mu = params.regularization_type == RegularizationType.TIKHONOV_1
+    X_mu = jnp.zeros((n, n_obj) if track_mu else (0, 0), dtype)
+    residual_mu = jnp.zeros((m,) if track_mu else (0,), dtype)
+
     ranks = []
     first_cols = []
     col_index = jnp.zeros((), jnp.int32)
@@ -591,6 +594,12 @@ def factorize_fast(
         block0 = lax.dynamic_slice_in_dim(lod, fr, dim, axis=0)
         col_norms = jnp.sum(block0[:, :n] * block0[:, :n], axis=0)
         rows = jnp.arange(dim)
+
+        if track_mu:
+            # deflated rhs of this level, before the Householder
+            # transformations (``lexlse.h:188-191``)
+            residual_mu = lax.dynamic_update_slice_in_dim(
+                residual_mu, block0[:, n], fr, axis=0)
 
         def pivot_step(counter, carry, fr=fr, dim=dim, rows=rows):
             (lod, col_norms, pos, col_at, rank_row, hh, col_index, stopped) = carry
@@ -696,12 +705,55 @@ def factorize_fast(
             ns_pos = jnp.concatenate(
                 [null_space[:, :n].take(col_at, axis=1), null_space[:, n:]],
                 axis=1)
-            new_rhs, ns_pos = _reg.apply_level_regularization(
-                params, level_rows, ns_pos, first_col, rank,
-                col_index, factor, n)
+            if track_mu:
+                do_reg = jnp.logical_and(factor != 0.0, rank > 0)
+                new_rhs, y_mu = _reg._tikhonov_full(
+                    level_rows, ns_pos, first_col, rank, col_index,
+                    factor, n, return_y=True)
+                rows_K = jnp.arange(K)
+                rhs_reg = jnp.where(do_reg & (rows_K < rank), new_rhs,
+                                    level_rows[:, n])
+                lod = lod.at[fr : fr + K, n].set(rhs_reg)
+                # damped residual: rw = Q [new_rhs_head; 0], residual_mu
+                # segment := rw - (deflated rhs)  (``lexlse.h:1846-1855``);
+                # pivot columns gathered through col_at
+                wy_cols = col_at.take(jnp.clip(
+                    first_col + jnp.arange(K, dtype=jnp.int32), 0, n - 1))
+                Vw, Ww = _wy_raw(lod, hh, fr, dim, K, first_col, n,
+                                 cols=wy_cols)
+                rows_d = jnp.arange(dim)
+                rhs_new = lax.dynamic_slice_in_dim(lod[:, n], fr, dim)
+                seg_in = jnp.where(rows_d < rank, rhs_new, 0)
+                rw = seg_in - Ww @ (Vw.T @ seg_in)
+                old_seg = lax.dynamic_slice_in_dim(residual_mu, fr, dim)
+                residual_mu = lax.dynamic_update_slice_in_dim(
+                    residual_mu, jnp.where(do_reg, rw - old_seg, old_seg),
+                    fr, axis=0)
+                # damped solution of the obj-th problem, completed through
+                # earlier levels (``get_intermediate_x``, lexlse.h:2010):
+                # earlier-level rows gathered into position space once
+                X_pos = jnp.where(jnp.arange(n) >= first_col, y_mu, 0)
+                if obj > 0:
+                    lod_pos = jnp.concatenate(
+                        [lod[:fr, :n].take(col_at, axis=1), lod[:fr, n:]],
+                        axis=1)
+                    X_pos = _intermediate_x(
+                        lod_pos, offsets, dims, first_cols, ranks, obj,
+                        first_col, X_pos, n)
+                # positions -> physical variables: X_var[c] = X_pos[pos[c]]
+                X_var = jnp.where(do_reg, X_pos.take(pos), X_mu[:, obj])
+                X_mu = X_mu.at[:, obj].set(X_var)
+                lv_reg = jnp.concatenate(
+                    [level_rows[:, :n], rhs_reg[:, None]], axis=1)
+                ns_pos = _reg._accumulate_nullspace(
+                    lv_reg, ns_pos, first_col, rank, col_index, n)
+            else:
+                new_rhs, ns_pos = _reg.apply_level_regularization(
+                    params, level_rows, ns_pos, first_col, rank,
+                    col_index, factor, n)
+                lod = lod.at[fr : fr + K, n].set(new_rhs)
             null_space = jnp.concatenate(
                 [ns_pos[:, :n].take(pos, axis=1), ns_pos[:, n:]], axis=1)
-            lod = lod.at[fr : fr + K, n].set(new_rhs)
 
         # --- Gauss elimination of all lower-priority rows, in virtual
         # layout (``lexlse.h:431-471``): gather R by position, solve on
@@ -750,8 +802,8 @@ def factorize_fast(
         first_col=jnp.stack(first_cols) if first_cols else jnp.zeros((0,), jnp.int32),
         total_rank=col_index, fixed_mask=fixed_mask, fixed_val=fixed_val,
         null_space=null_space,
-        X_mu=jnp.zeros((0, 0), dtype), residual_mu=jnp.zeros((0,), dtype),
-        reg_factors=jnp.zeros((0,), dtype),
+        X_mu=X_mu, residual_mu=residual_mu,
+        reg_factors=reg_factors if track_mu else jnp.zeros((0,), dtype),
         dims=tuple(dims), n_var=n,
     )
 
@@ -955,10 +1007,15 @@ def _level_wy(f: LexQR, obj: int) -> Tuple[jax.Array, jax.Array]:
     return _wy_raw(f.lod, f.hh, fr, dim, K, f.first_col[obj], f.n_var)
 
 
-def _wy_raw(lod, hh, fr, dim, K, fcol, n):
-    """WY factors from raw factorization storage (usable mid-factorize)."""
+def _wy_raw(lod, hh, fr, dim, K, fcol, n, cols=None):
+    """WY factors from raw factorization storage (usable mid-factorize).
+
+    ``cols`` overrides the pivot-column indices (the virtual-permutation
+    tier passes ``col_at``-gathered physical columns; the physical tier's
+    columns are already in position order)."""
     dtype = lod.dtype
-    cols = jnp.minimum(fcol + jnp.arange(K, dtype=jnp.int32), n)
+    if cols is None:
+        cols = jnp.minimum(fcol + jnp.arange(K, dtype=jnp.int32), n)
     M = lod[fr : fr + dim, :].take(cols, axis=1)
     rloc = jnp.arange(dim)[:, None]
     jj = jnp.arange(K)[None, :]

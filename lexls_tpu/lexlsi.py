@@ -260,8 +260,8 @@ def _factorize_masked(Ag, bg, fixed_mask, fixed_val, struct: Structure,
     lexlse_params = params.lexlse_parameters()
     reg_g = None if reg is None else (reg[1:] if struct.simple_bounds else reg)
     if params.regularization_type in FAST_TIER_TYPES:
-        # hot path: virtual-permutation factorization (all regularization
-        # variants except TIKHONOV_1 run here too)
+        # hot path: virtual-permutation factorization (every
+        # regularization variant, including TIKHONOV_1, runs here)
         return lexlse.factorize_fast(
             Ag, bg, struct.lexlse_dims, lexlse_params,
             fixed_mask=fixed_mask, fixed_val=fixed_val, reg_factors=reg_g,

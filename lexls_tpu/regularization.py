@@ -30,13 +30,14 @@ from jax import lax
 
 from .types import ParametersLexLSE, RegularizationType
 
-#: variants supported by the virtual-permutation fast tier (all except
-#: TIKHONOV_1, whose regularized-multiplier machinery — X_mu, damped
-#: residuals — additionally tracks state across levels in the physical
-#: factorization; reference ``regularize_tikhonov_1_test``).
+#: variants supported by the virtual-permutation fast tier — ALL of
+#: them: TIKHONOV_1's regularized-multiplier machinery (X_mu, damped
+#: residuals; reference ``regularize_tikhonov_1_test``) runs there too,
+#: with its position-space reads gathered through ``col_at``.
 FAST_TIER_TYPES = frozenset({
     RegularizationType.NONE,
     RegularizationType.TIKHONOV,
+    RegularizationType.TIKHONOV_1,
     RegularizationType.TIKHONOV_CG,
     RegularizationType.R,
     RegularizationType.R_NO_Z,

@@ -69,3 +69,37 @@ def test_small_mu_approaches_unregularized():
         _, lr = oe.objective_sensitivity_regularized(fo, j)
         _, l0 = oe.objective_sensitivity(f0, j)
         np.testing.assert_allclose(lr, l0, atol=1e-8)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_tikhonov_1_fast_tier_matches_physical(trial):
+    """TIKHONOV_1 on factorize_fast (position-space gathers through
+    col_at) is bit-compatible with the physical tier: lod, X_mu,
+    residual_mu, solve, and the regularized multipliers all agree."""
+    rng = np.random.default_rng(700 + trial)
+    n = int(rng.integers(5, 12))
+    p = int(rng.integers(2, 4))
+    dims = tuple(int(rng.integers(2, 6)) for _ in range(p))
+    ranks = [min(d, int(rng.integers(1, d + 1))) for d in dims]
+    A, b, _, _, _ = gen.random_equality_hierarchy(rng, n, dims, ranks=ranks)
+    reg = jnp.asarray(0.1 * rng.random(p) + 0.01)
+    params = ParametersLexLSE(
+        regularization_type=RegularizationType.TIKHONOV_1)
+    A, b = jnp.asarray(A), jnp.asarray(b)
+    f1 = jle.factorize(A, b, dims, params, reg_factors=reg)
+    f2 = jle.factorize_fast(A, b, dims, params, reg_factors=reg)
+    np.testing.assert_array_equal(np.asarray(f1.ranks), np.asarray(f2.ranks))
+    np.testing.assert_allclose(np.asarray(f2.lod), np.asarray(f1.lod),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f2.X_mu), np.asarray(f1.X_mu),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f2.residual_mu),
+                               np.asarray(f1.residual_mu), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jle.solve(f2)),
+                               np.asarray(jle.solve(f1)), atol=1e-10)
+    for j in range(p):
+        l1 = jle.objective_sensitivity_regularized(f1, j)
+        l2 = jle.objective_sensitivity_regularized(f2, j)
+        for a, bb in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       atol=1e-10)
