@@ -1074,19 +1074,17 @@ def initial_activation(
     user-settable, already-typed rows are not overridden)."""
     ctr_type = prob.initial_ctr_type().astype(np.int32)
     stamp = np.full(prob.n_ctr, -1, dtype=np.int32)
-    c = 0
-    for i in range(prob.n_ctr):
-        if ctr_type[i] == int(CtrType.ACTIVE_EQ):
-            stamp[i] = c
-            c += 1
+    eq = ctr_type == int(CtrType.ACTIVE_EQ)
+    stamp[eq] = np.arange(int(eq.sum()), dtype=np.int32)
+    c = int(eq.sum())
     if active_guess is not None:
-        for i in range(prob.n_ctr):
-            t = int(active_guess[i])
-            if ctr_type[i] == int(CtrType.INACTIVE) and t in (
-                int(CtrType.ACTIVE_LB), int(CtrType.ACTIVE_UB)):
-                ctr_type[i] = t
-                stamp[i] = c
-                c += 1
+        guess = np.asarray(active_guess, np.int32)
+        g = (ctr_type == int(CtrType.INACTIVE)) & (
+            (guess == int(CtrType.ACTIVE_LB))
+            | (guess == int(CtrType.ACTIVE_UB)))
+        ctr_type[g] = guess[g]
+        stamp[g] = c + np.arange(int(g.sum()), dtype=np.int32)
+        c += int(g.sum())
     return ctr_type, stamp, np.int32(c)
 
 

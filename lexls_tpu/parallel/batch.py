@@ -170,9 +170,17 @@ def make_host_mesh(n_hosts: int, chips_per_host: int,
     if devices is not None:
         dev_grid = np.asarray(devices).reshape(n_hosts, chips_per_host)
     elif jax.process_count() > 1:
-        dev_grid = mesh_utils.create_hybrid_device_mesh(
-            (1, chips_per_host), (n_hosts, 1),
-            devices=jax.devices()[:n])
+        try:
+            dev_grid = mesh_utils.create_hybrid_device_mesh(
+                (1, chips_per_host), (n_hosts, 1),
+                devices=jax.devices()[:n])
+        except ValueError:
+            # CPU (and some TPU topologies) expose no slice_index —
+            # group by owning process instead: rows = hosts, cols = the
+            # process's local devices (the DCN boundary is the process)
+            devs = sorted(jax.devices()[:n],
+                          key=lambda d: (d.process_index, d.id))
+            dev_grid = np.asarray(devs).reshape(n_hosts, chips_per_host)
     else:
         dev_grid = mesh_utils.create_device_mesh(
             (n_hosts, chips_per_host), devices=jax.devices()[:n],
