@@ -143,13 +143,12 @@ def main():
             # working-set-changing instances enter the Pallas kernel
             from lexls_tpu import tracker as trk
 
-            st0, factors = jli.solve_core_fused(
+            st0, carried0 = trk.solve_core_cold_tracked(
                 A0, lbs, ubs, c0, s0, n0, jnp.zeros((B, n_var), dtype), v0,
-                reg, struct=struct, params=params, x_guess_specified=False,
-                v0_specified=False, tile=tile, interpret=not on_tpu,
-                vmem_limit_mb=vmem_mb, compact=compact, tile_b=tile_b,
-                panel_unroll=panel_unroll, compact_rounds=compact_rounds,
-                return_factors=True)
+                struct=struct, params=params, tile=tile,
+                interpret=not on_tpu, vmem_limit_mb=vmem_mb,
+                compact=compact, tile_b=tile_b,
+                compact_rounds=compact_rounds)
 
             def step_t(carry, drift_t):
                 x, ct, car = carry
@@ -164,8 +163,7 @@ def main():
                 return (st.x, st.ctr_type, car), (st.status, st.it)
 
             (x, ct, _), (statuses, its) = lax.scan(
-                step_t, (st0.x, st0.ctr_type, trk.bootstrap_carried(factors)),
-                drifts[1:T])
+                step_t, (st0.x, st0.ctr_type, carried0), drifts[1:T])
         else:
             st0 = solve_b(A0, c0, s0, n0, jnp.zeros((B, n_var), dtype), False)
 

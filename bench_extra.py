@@ -119,16 +119,29 @@ def bench_inequality_cold():
 
     tile = 64 if on_tpu else B
     vmem = 100 if on_tpu else 0
+    # "tracked" runs the cold solve through the tracker loop: ONE exact
+    # kernel iteration, then every remaining active-set iteration as
+    # batched MXU matmuls (lexls_tpu/tracker.py)
+    mode = os.environ.get("LEXLS_BENCH_COLD_MODE", "tracked")
 
     @functools.partial(jax.jit, static_argnames=("N",))
     def run(base, N):
         def body(carry, _):
             Ac, acc = carry
-            st = jli.solve_core_fused(
-                Ac, lbs, ubs, c0, s0, n0, jnp.zeros((B, n), dtype),
-                jnp.zeros((B, m), dtype), reg, struct=struct, params=params,
-                x_guess_specified=False, v0_specified=False, tile=tile,
-                interpret=not on_tpu, vmem_limit_mb=vmem)
+            if mode == "tracked":
+                from lexls_tpu import tracker as trk
+
+                st, _ = trk.solve_core_cold_tracked(
+                    Ac, lbs, ubs, c0, s0, n0, jnp.zeros((B, n), dtype),
+                    jnp.zeros((B, m), dtype), struct=struct, params=params,
+                    tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem)
+            else:
+                st = jli.solve_core_fused(
+                    Ac, lbs, ubs, c0, s0, n0, jnp.zeros((B, n), dtype),
+                    jnp.zeros((B, m), dtype), reg, struct=struct,
+                    params=params, x_guess_specified=False,
+                    v0_specified=False, tile=tile,
+                    interpret=not on_tpu, vmem_limit_mb=vmem)
             return (Ac + 1e-9 * jnp.sum(st.x), acc + jnp.sum(st.it)), None
         (Ac, acc), _ = lax.scan(body, (base, jnp.zeros((), dtype)), None, length=N)
         return acc
@@ -138,7 +151,7 @@ def bench_inequality_cold():
     print(json.dumps({
         "metric": "inequality_cold_solves_per_s",
         "value": round(rate, 2), "unit": "solves/s",
-        "config": f"B={B} n=88 dims=(44,44) two-sided cold fused",
+        "config": f"B={B} n=88 dims=(44,44) two-sided cold {mode}",
     }))
 
 

@@ -204,11 +204,20 @@ def solve_sequence_batched_fused(
 
     c0, s0, n0 = act(A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0],
                      jnp.zeros((B, m), jnp.int32))
-    st0, factors0 = solve_core_fused(
-        A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
-        jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype), reg,
-        x_guess_specified=False, v0_specified=False, return_factors=True,
-        **kw)
+    if tracked:
+        # cold start through the tracker loop as well: one exact kernel
+        # iteration, then batched-matmul iterations
+        st0, carried0 = trk.solve_core_cold_tracked(
+            A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
+            jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
+            x_guess_specified=False, v0_specified=False, **kw)
+    else:
+        st0, factors0 = solve_core_fused(
+            A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
+            jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype), reg,
+            x_guess_specified=False, v0_specified=False,
+            return_factors=True, **kw)
+        carried0 = trk.bootstrap_carried(factors0)
 
     def step(carry, inputs):
         x_prev, ct_prev, carried = carry
@@ -225,7 +234,6 @@ def solve_sequence_batched_fused(
         out = (st.x, st.v, st.status, st.it, st.n_fact, st.ctr_type)
         return (st.x, st.ctr_type, carried), out
 
-    carried0 = trk.bootstrap_carried(factors0)
     xs_in = (jnp.swapaxes(A_seq[:, 1:], 0, 1),
              jnp.swapaxes(lb_seq[:, 1:], 0, 1),
              jnp.swapaxes(ub_seq[:, 1:], 0, 1))

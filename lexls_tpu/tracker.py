@@ -93,42 +93,70 @@ def bootstrap_carried(factors: Tuple[jax.Array, jax.Array, jax.Array]) -> Carrie
     return Carried(rinv=rinv, pos=pos, ranks=ranks)
 
 
-def _ns_invsqrt(G: jax.Array, iters: int) -> jax.Array:
-    """Coupled Newton–Schulz iteration for G^{-1/2} of an SPD matrix
-    near the identity (quadratic convergence for ||G − I|| < 1)."""
+def _ns_invsqrt(G: jax.Array, iters: int):
+    """Scaled coupled Newton–Schulz iteration for G^{-1/2} of an SPD
+    matrix, with a convergence certificate.
+
+    Gershgorin row-sum scaling puts every eigenvalue of G/τ in (0, 1];
+    the coupled iteration (Y → (G/τ)^{1/2}, Z → (G/τ)^{-1/2}) then
+    converges globally for SPD inputs — linear (×1.5 per step) while
+    small eigenvalues grow toward 1, quadratic after.  At the fixed
+    point the step matrix T = 1.5 I − 0.5 Z Y is the identity, so
+    ``max|T − I|`` of the LAST step certifies convergence (it bounds
+    ||I − ZGZ^{T}||): near-singular G (a genuine rank loss) fails the
+    certificate instead of silently producing garbage.
+
+    Returns ``(Z ≈ G^{-1/2}, cert)`` with cert (B,)."""
     K = G.shape[-1]
     eye = jnp.eye(K, dtype=G.dtype)
-    Y, Z = G, jnp.broadcast_to(eye, G.shape)
+    tau = jnp.max(jnp.sum(jnp.abs(G), axis=-1), axis=-1)      # (B,)
+    tau = jnp.maximum(tau, 1e-30)[..., None, None]
+    Y = G / tau
+    Z = jnp.broadcast_to(eye, G.shape)
+    cert = None
     for _ in range(iters):
         T = 1.5 * eye - 0.5 * (Z @ Y)
+        cert = jnp.max(jnp.abs(T - eye), axis=(-2, -1))
         Y = Y @ T
         Z = T @ Z
-    return Z
+    return Z / jnp.sqrt(tau), cert
 
 
-def _hot_factorize(Ag, bg, carried: Carried, struct: Structure,
-                   params: ParametersLexLSI, *, gtol: float, ns_iters: int):
-    """Re-factorize the masked staircase with the carried pivot order.
+def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
+                       params: ParametersLexLSI, *, ns_iters: int,
+                       cert_tol: float, ext_steps: int):
+    """Re-factorize the masked staircase with the carried pivot order,
+    absorbing rank GROWTH by greedy pivot extension.
 
-    Returns ``(ok, stash, fcs)``: per-instance acceptance flag, per-level
-    ``(hot, Q, W, rinv_new, Lp)`` stashes, and per-level first pivot
-    slots.  All operations are batched matmuls / reductions — the MXU
-    replacement for the serial pivoted panel (``lexlse.h:182-268``)."""
+    All operations are batched matmuls / reductions — the MXU
+    replacement for the serial pivoted panel (``lexlse.h:182-268``).
+
+    Per level: re-orthonormalize the carried pivot block (M = B̃_P
+    R⁻¹_old, Newton–Schulz inverse square root), then run up to
+    ``ext_steps`` greedy extension steps — exactly the reference's pivot
+    rule (max trailing column norm ≥ tol, smallest position on ties,
+    ``lexlse.h:205-217``) — appending the new pivot analytically to Q /
+    R⁻¹ / W.  Acceptance (per instance) requires: the NS convergence
+    certificate, the pivot set's independence bound
+    ``||R⁻¹||_F² ≤ 1/tol`` (certifies λmin(Gram) ≥ tol / K — slightly
+    conservative: borderline instances fall back to the exact kernel),
+    and no trailing column norm ≥ tol remaining after extension.
+
+    Returns ``(ok, stash, fcs, pos, ranks, rinv_out)`` — stash holds per
+    level ``(hot, Q, W, rinv_new, Lp)``; pos/ranks/rinv_out reflect the
+    extensions."""
     dims = struct.lexlse_dims
     p = len(dims)
     n = struct.n_var
     B = Ag.shape[0]
     dtype = Ag.dtype
-    K = carried.rinv.shape[-1]
+    K = rinv.shape[-1]
     tol_ld = params.tol_linear_dependence
+    big = jnp.iinfo(jnp.int32).max
 
     block = jnp.concatenate([Ag, bg[:, :, None]], axis=2)     # (B, mg, n+1)
-    pos = carried.pos
-    ranks = carried.ranks
-    fcs = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(ranks[:, :-1], axis=1)],
-        axis=1)                                               # (B, p)
     iota_k = jnp.arange(K, dtype=jnp.int32)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
     ok = jnp.ones((B,), bool)
 
     offsets = []
@@ -138,13 +166,20 @@ def _hot_factorize(Ag, bg, carried: Carried, struct: Structure,
         ofs += d
 
     stash = []
+    rinv_out = []
+    fcs_list = []
+    fc_k = jnp.zeros((B,), jnp.int32)
+    ranks_out = []
     hp = lax.Precision.HIGHEST
+    eye = jnp.eye(K, dtype=dtype)
     for k, (fr, dim) in enumerate(zip(offsets, dims)):
+        fcs_list.append(fc_k)
         if dim == 0:
             stash.append(None)
+            rinv_out.append(jnp.zeros((B, K, K), dtype))
+            ranks_out.append(jnp.zeros((B,), jnp.int32))
             continue
         rank_k = ranks[:, k]                                   # (B,)
-        fc_k = fcs[:, k]
         live = iota_k[None, :] < rank_k[:, None]               # (B, K)
         live2 = live[:, :, None] & live[:, None, :]
         # one-hot slot -> column map of this level's carried pivots
@@ -153,27 +188,70 @@ def _hot_factorize(Ag, bg, carried: Carried, struct: Structure,
 
         lvl = block[:, fr:fr + dim, :]                         # (B, dim, n+1)
         P0 = jnp.einsum("bdn,bkn->bdk", lvl[:, :, :n], hot, precision=hp)
-        rinv_k = carried.rinv[:, k]
+        rinv_k = rinv[:, k]
         M = jnp.matmul(P0, rinv_k, precision=hp)               # (B, dim, K)
         G = jnp.einsum("bdi,bdj->bij", M, M, precision=hp)
-        eye = jnp.eye(K, dtype=dtype)
         Gt = jnp.where(live2, G, eye)
-        dev = jnp.max(jnp.abs(Gt - eye), axis=(1, 2))
-        ok = ok & (dev < gtol)
-
-        Z = _ns_invsqrt(Gt, ns_iters) * live2.astype(dtype)
+        Z, cert = _ns_invsqrt(Gt, ns_iters)
+        ok = ok & (cert < cert_tol)
+        Z = Z * live2.astype(dtype)
         Q = jnp.matmul(M, Z, precision=hp)                     # (B, dim, K)
         rinv_new = jnp.matmul(rinv_k, Z, precision=hp)
         W = jnp.einsum("bdk,bdc->bkc", Q, lvl, precision=hp)   # (B, K, n+1)
 
-        # rank-growth test: any column at a position beyond this level's
-        # pivots whose residual norm after projecting out Q reaches the
-        # dependence tolerance would have been pivoted by the greedy
-        # panel (``lexlse.h:205-217``) — reject the carried pattern
-        cn = (jnp.sum(lvl[:, :, :n] * lvl[:, :, :n], axis=1)
-              - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1))    # (B, n)
+        # greedy extension: absorb rank growth (a newly activated
+        # independent row) with the reference's own pivot rule
+        colnorm0 = jnp.sum(lvl[:, :, :n] * lvl[:, :, :n], axis=1)
+        for _ in range(ext_steps):
+            cn = colnorm0 - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1)
+            end_k = fc_k + rank_k
+            beyond = pos >= end_k[:, None]
+            cn_b = jnp.where(beyond, cn, -1.0)
+            mx = jnp.max(cn_b, axis=1)
+            grow = (mx >= tol_ld) & (rank_k < min(dim, K))
+            # smallest position among the max-norm candidates
+            cand = beyond & (cn_b == mx[:, None])
+            qmin = jnp.min(jnp.where(cand, pos, big), axis=1)
+            sel = cand & (pos == qmin[:, None])                # (B, n) one-hot
+            self_f = sel.astype(dtype)
+            a_c = jnp.einsum("bdn,bn->bd", lvl[:, :, :n], self_f,
+                             precision=hp)                     # (B, dim)
+            w_c = jnp.einsum("bkn,bn->bk", W[:, :, :n], self_f,
+                             precision=hp)                     # (B, K)
+            resid = a_c - jnp.einsum("bdk,bk->bd", Q, w_c, precision=hp)
+            rho2 = jnp.sum(resid * resid, axis=1)
+            grow = grow & (rho2 >= tol_ld)
+            rho = jnp.sqrt(jnp.maximum(rho2, 1e-30))
+            q_new = resid / rho[:, None]
+            slot = iota_k[None, :] == rank_k[:, None]          # (B, K)
+            growf = grow.astype(dtype)[:, None]
+            # Q gains column q_new at slot `rank_k`
+            Q = Q + (growf[:, :, None] * q_new[:, :, None]
+                     * slot[:, None, :].astype(dtype))
+            # R gains column [w_c; rho]: Rinv column = [-Rinv w_c/rho; 1/rho]
+            rcol = -jnp.einsum("bij,bj->bi", rinv_new, w_c,
+                               precision=hp) / rho[:, None]
+            rcol = rcol + slot.astype(dtype) / rho[:, None]
+            rinv_new = rinv_new + (growf[:, :, None] * rcol[:, :, None]
+                                   * slot[:, None, :].astype(dtype))
+            # W gains row q_new^T lvl at slot `rank_k`
+            w_new = jnp.einsum("bd,bdc->bc", q_new, lvl, precision=hp)
+            W = W + (growf[:, :, None] * slot[:, :, None]
+                     * w_new[:, None, :])
+            # positions: insert `sel` at slot end_k (list-insertion
+            # renumbering; sel's old position is vacated)
+            shift = (pos >= end_k[:, None]) & (pos < qmin[:, None]) & grow[:, None]
+            pos = jnp.where(sel & grow[:, None], end_k[:, None],
+                            pos + shift.astype(jnp.int32))
+            hot = hot + (growf[:, :, None] * slot[:, :, None]
+                         * self_f[:, None, :])
+            rank_k = rank_k + grow.astype(jnp.int32)
+
+        # acceptance: pivot-set independence + no rank growth left
+        ok = ok & (jnp.sum(rinv_new * rinv_new, axis=(1, 2)) <= 1.0 / tol_ld)
+        cn = colnorm0 - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1)
         beyond = pos >= (fc_k + rank_k)[:, None]
-        ok = ok & (jnp.max(jnp.where(beyond, cn, 0.0), axis=1) < tol_ld)
+        ok = ok & (jnp.max(jnp.where(beyond, cn, -1.0), axis=1) < tol_ld)
 
         # Gauss elimination of all lower-priority rows
         # (``lexlse.h:431-471``): L = B_P R^{-1}; applying the full
@@ -187,8 +265,15 @@ def _hot_factorize(Ag, bg, carried: Carried, struct: Structure,
             block = jnp.concatenate([block[:, : fr + dim], below], axis=1)
 
         stash.append((hot, Q, W, rinv_new, Lp))
+        rinv_out.append(rinv_new)
+        ranks_out.append(rank_k)
+        fc_k = fc_k + rank_k
 
-    return ok, stash, fcs
+    fcs = jnp.stack(fcs_list, axis=1)                          # (B, p)
+    ranks_new = jnp.stack(ranks_out, axis=1)
+    rinv_new_all = jnp.stack(rinv_out, axis=1)
+    del iota_n
+    return ok, stash, fcs, pos, ranks_new, rinv_new_all
 
 
 def _hot_solve(stash, fcs, pos, fixed_mask, fixed_val, struct: Structure):
@@ -319,11 +404,12 @@ def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
     return found[:, 0], sel_row[:, 0]
 
 
+
 @functools.partial(
     jax.jit,
     static_argnames=("struct", "params", "tile", "interpret",
                      "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
-                     "compact_rounds", "gtol", "ns_iters"),
+                     "compact_rounds", "ns_iters", "cert_tol", "ext_steps"),
 )
 def solve_core_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -332,14 +418,23 @@ def solve_core_tracked(
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
-    gtol: float = 0.25, ns_iters: int = 3,
+    ns_iters: int = 10, cert_tol: float = 1e-3, ext_steps: int = 1,
 ):
-    """Batched warm solve with carried-factorization iteration 0.
+    """Batched warm solve with the WHOLE active-set loop on the MXU.
 
-    Same configuration envelope as :func:`lexls_tpu.lexlsi.solve_core_fused`
-    (no regularization / cycling / log / trace).  ``carried`` comes from
-    :func:`bootstrap_carried` of a previous solve's factors (or this
-    function's own second return value).  Returns ``(state, carried')``.
+    Every iteration re-factorizes through the carried pivot order
+    (:func:`_factorize_carried` — batched matmuls, greedy extension for
+    rank growth) and applies one reference active-set step; an instance
+    leaves the loop when it terminates, exhausts the budget, or fails
+    verification (rank loss / ill-conditioned carry), in which case it
+    falls back into the fused Pallas kernel CONTINUING from its current
+    state (per-instance ``it0`` handover).  Same configuration envelope
+    as :func:`lexls_tpu.lexlsi.solve_core_fused` (no regularization /
+    cycling / log / trace).
+
+    ``carried`` comes from :func:`bootstrap_carried` of a previous
+    solve's exported factors, or from this function's own second return
+    value.  Returns ``(state, carried')``.
     """
     if params.regularization_type != RegularizationType.NONE:
         raise LexLSError("solve_core_tracked: regularization unsupported")
@@ -347,94 +442,142 @@ def solve_core_tracked(
             or params.trace_enabled or params.use_phase1_v0):
         raise LexLSError(
             "solve_core_tracked: cycling/log/trace/use_phase1_v0 unsupported")
+    with jax.default_matmul_precision("float32"):
+        s0 = jax.vmap(
+            lambda a, l, u, c, st, ns, x, v: _initial_state(
+                a, l, u, c, st, ns, x, v, struct, params, None,
+                True, False)
+        )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+    return _tracked_tail(
+        A, s0, carried, struct=struct, params=params, tile=tile,
+        interpret=interpret, vmem_limit_mb=vmem_limit_mb, compact=compact,
+        tile_b=tile_b, panel_unroll=panel_unroll,
+        compact_rounds=compact_rounds, ns_iters=ns_iters,
+        cert_tol=cert_tol, ext_steps=ext_steps)
+
+
+def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
+                  interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
+                  compact_rounds, ns_iters, cert_tol, ext_steps):
+    """The tracker while-loop + kernel handover, from an already-built
+    batched state (phase 1 done, or a mid-solve state from a capped
+    kernel phase — the cold-start driver)."""
     B, m, n = A.shape
     p = len(struct.lexlse_dims)
     dtype = A.dtype
-    d0 = struct.d0
     max_fact = params.max_number_of_factorizations
     offsets = []
     ofs = 0
     for d in struct.lexlse_dims:
         offsets.append(ofs)
         ofs += d
+    iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
+    unknown = int(TerminationStatus.UNKNOWN)
 
     with jax.default_matmul_precision("float32"):
-        s = jax.vmap(
-            lambda a, l, u, c, st, ns, x, v: _initial_state(
-                a, l, u, c, st, ns, x, v, struct, params, None,
-                True, False)
-        )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
 
-        # ---- masked subproblem + carried-order factorization
-        Ag, bg, fixed_mask, fixed_val = jax.vmap(
-            lambda a, l, u, c: _masked_general(a, l, u, c, struct)
-        )(A, s.lb, s.ub, s.ctr_type)
-        ok, stash, fcs = _hot_factorize(
-            Ag, bg, carried, struct, params, gtol=gtol, ns_iters=ns_iters)
+        def alive_of(s, fall):
+            return ((s.status == unknown) & jnp.logical_not(fall)
+                    & ((s.it == 0) | (s.n_fact < max_fact)))
 
-        # ---- one active-set iteration at the hot factorization
-        x_star = _hot_solve(stash, fcs, carried.pos, fixed_mask, fixed_val,
-                            struct)
-        dx = x_star - s.x
-        Adx, dv = jax.vmap(
-            lambda a, l, u, c, ax, v_, d: _form_step(a, l, u, c, ax, v_, d)
-        )(A, s.lb, s.ub, s.ctr_type, s.Ax, s.v, dx)
-        alpha, brow, btype = jax.vmap(
-            lambda c, ax, adx, v_, dv_, l, u: _check_blocking(
-                c, ax, adx, v_, dv_, l, u,
-                jnp.asarray(params.tol_feasibility, dtype), dtype)
-        )(s.ctr_type, s.Ax, Adx, s.v, dv, s.lb, s.ub)
-        blocking = brow >= 0
+        def cond(carry):
+            s, _, _, _, fall = carry
+            return jnp.any(alive_of(s, fall))
 
-        lam_all = _hot_lambda(stash, s.v + dv, struct, offsets)
-        found_rm, rrow = _select_removal(
-            lam_all, s.ctr_type, s.stamp, Ag, fixed_mask, struct, params)
-        want_sweep = jnp.logical_not(blocking)
-        do_remove = want_sweep & found_rm
-        solved = want_sweep & jnp.logical_not(found_rm)
+        def body(carry):
+            s, rinv_c, pos_c, ranks_c, fall = carry
+            alive = alive_of(s, fall)
 
-        # ---- working-set update + step (``lexlsi.h:1144-1265``)
-        iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
-        brow_hot = iota_m == brow[:, None]
-        rrow_hot = iota_m == rrow[:, None]
-        blk2 = blocking[:, None]
-        rm2 = do_remove[:, None]
-        ctr_type = jnp.where(blk2 & brow_hot, btype[:, None],
-                             jnp.where(rm2 & rrow_hot,
-                                       int(CtrType.INACTIVE), s.ctr_type))
-        stamp = jnp.where(blk2 & brow_hot, s.next_stamp[:, None],
-                          jnp.where(rm2 & rrow_hot, -1, s.stamp))
-        next_stamp = s.next_stamp + blocking.astype(jnp.int32)
-        take = (alpha > 0.0).astype(dtype)[:, None]
-        x = s.x + take * alpha[:, None] * dx
-        v = s.v + take * alpha[:, None] * dv
-        Ax = s.Ax + take * alpha[:, None] * Adx
+            Ag, bg, fixed_mask, fixed_val = jax.vmap(
+                lambda a, l, u, c: _masked_general(a, l, u, c, struct)
+            )(A, s.lb, s.ub, s.ctr_type)
+            # fixed-variable elimination (``lexlse.h:132-156``): zero the
+            # fixed COLUMNS and fold their values into the rhs — done by
+            # the factorize functions on the other tiers, here explicitly
+            Agz = jnp.where(fixed_mask[:, None, :], 0.0, Ag)
+            bgz = bg - jnp.einsum("bmn,bn->bm", Ag, fixed_val,
+                                  precision=lax.Precision.HIGHEST)
+            ok, stash, fcs, pos_n, ranks_n, rinv_n = _factorize_carried(
+                Agz, bgz, rinv_c, pos_c, ranks_c, struct, params,
+                ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps)
 
-        status = jnp.where(solved, int(TerminationStatus.PROBLEM_SOLVED),
-                           s.status)
-        s1 = dataclasses.replace(
-            s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ctr_type,
-            stamp=stamp, next_stamp=next_stamp, it=s.it + 1,
-            n_act=s.n_act + blocking.astype(jnp.int32),
-            n_deact=s.n_deact + do_remove.astype(jnp.int32),
-            n_fact=s.n_fact, status=status)
+            x_star = _hot_solve(stash, fcs, pos_n, fixed_mask, fixed_val,
+                                struct)
+            dx = x_star - s.x
+            Adx, dv = jax.vmap(
+                lambda a, l, u, c, ax, v_, d: _form_step(a, l, u, c, ax,
+                                                         v_, d)
+            )(A, s.lb, s.ub, s.ctr_type, s.Ax, s.v, dx)
+            alpha, brow, btype = jax.vmap(
+                lambda c, ax, adx, v_, dv_, l, u: _check_blocking(
+                    c, ax, adx, v_, dv_, l, u,
+                    jnp.asarray(params.tol_feasibility, dtype), dtype)
+            )(s.ctr_type, s.Ax, Adx, s.v, dv, s.lb, s.ub)
+            blocking = brow >= 0
 
-        # ---- route: accepted instances continue from the tracker's
-        # state (it0 = 1); rejected ones re-enter untouched (it0 = 0)
-        s_in = jax.tree_util.tree_map(
-            lambda a_t, a_0: jnp.where(
-                ok.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_0),
-            s1, s)
-        it0 = jnp.where(ok, 1, 0).astype(jnp.int32)
-        resolved = ok & solved
-        # terminated instances must not re-run in the kernel: status is
-        # not a kernel input, so park them via the factorization budget
-        # (their kernel outputs are discarded below)
+            lam_all = _hot_lambda(stash, s.v + dv, struct, offsets)
+            found_rm, rrow = _select_removal(
+                lam_all, s.ctr_type, s.stamp, Ag, fixed_mask, struct, params)
+            want_sweep = jnp.logical_not(blocking)
+            do_remove = want_sweep & found_rm
+            solved = want_sweep & jnp.logical_not(found_rm)
+
+            # --- working-set update + step (``lexlsi.h:1144-1265``),
+            # committed only for alive instances with an accepted carry
+            commit = alive & ok
+            cm2 = commit[:, None]
+            brow_hot = iota_m == brow[:, None]
+            rrow_hot = iota_m == rrow[:, None]
+            blk2 = blocking[:, None] & cm2
+            rm2 = do_remove[:, None] & cm2
+            ctr_type = jnp.where(blk2 & brow_hot, btype[:, None],
+                                 jnp.where(rm2 & rrow_hot,
+                                           int(CtrType.INACTIVE),
+                                           s.ctr_type))
+            stamp = jnp.where(blk2 & brow_hot, s.next_stamp[:, None],
+                              jnp.where(rm2 & rrow_hot, -1, s.stamp))
+            next_stamp = s.next_stamp + (blocking & commit).astype(jnp.int32)
+            take = ((alpha > 0.0) & commit).astype(dtype)[:, None]
+            x = s.x + take * alpha[:, None] * dx
+            v = s.v + take * alpha[:, None] * dv
+            Ax = s.Ax + take * alpha[:, None] * Adx
+            cf = commit.astype(dtype)[:, None]
+            dx_c = s.dx + cf * (dx - s.dx)
+            dv_c = s.dv + cf * (dv - s.dv)
+            Adx_c = s.Adx + cf * (Adx - s.Adx)
+
+            status = jnp.where(commit & solved,
+                               int(TerminationStatus.PROBLEM_SOLVED),
+                               s.status)
+            s_new = dataclasses.replace(
+                s, x=x, v=v, dx=dx_c, dv=dv_c, Ax=Ax, Adx=Adx_c,
+                ctr_type=ctr_type, stamp=stamp, next_stamp=next_stamp,
+                it=s.it + commit.astype(jnp.int32),
+                n_act=s.n_act + (blocking & commit).astype(jnp.int32),
+                n_deact=s.n_deact + (do_remove & commit).astype(jnp.int32),
+                n_fact=s.n_fact + (commit & (s.it > 0)).astype(jnp.int32),
+                status=status)
+
+            cmr = commit.reshape((-1, 1, 1, 1))
+            rinv_c = jnp.where(cmr, rinv_n, rinv_c)
+            pos_c = jnp.where(commit[:, None], pos_n, pos_c)
+            ranks_c = jnp.where(commit[:, None], ranks_n, ranks_c)
+            fall = fall | (alive & jnp.logical_not(ok))
+            return (s_new, rinv_c, pos_c, ranks_c, fall)
+
+        fall0 = jnp.zeros((B,), bool)
+        s, rinv_c, pos_c, ranks_c, fall = lax.while_loop(
+            cond, body,
+            (s0, carried.rinv, carried.pos, carried.ranks, fall0))
+
+        # --- kernel handover: fallen instances continue from their
+        # current state; everyone else is parked (their kernel outputs
+        # are discarded below; status is not a kernel input, so parking
+        # goes through the factorization budget)
+        resolved = s.status != unknown
+        it0 = s.it
         s_in = dataclasses.replace(
-            s_in, n_fact=jnp.where(resolved, max_fact, s_in.n_fact))
-
-        # cluster unresolved instances to the front so resolved tiles
-        # exit immediately
+            s, n_fact=jnp.where(resolved, max_fact, s.n_fact))
         order = jnp.argsort(resolved)
         iota_b = jnp.arange(B, dtype=jnp.int32)
         hot_b = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
@@ -450,29 +593,108 @@ def solve_core_tracked(
         st_k = jax.tree_util.tree_map(gi, st_k)
         factors_k = jax.tree_util.tree_map(gi, factors_k)
 
-        # ---- merge: resolved instances keep the tracker's result
+        # --- merge: tracker-resolved instances keep the tracker result;
+        # kernel phases restart n_act/n_deact at zero, so counters sum
+        # (parked instances contribute zero kernel counts)
         res = resolved
         final = jax.tree_util.tree_map(
             lambda a_t, a_k: jnp.where(
                 res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
-            s1, st_k)
-        # kernel phases restart n_act/n_deact at zero: add the tracker's
+            s, st_k)
         final = dataclasses.replace(
             final,
-            n_act=jnp.where(res, s1.n_act, st_k.n_act + s1.n_act * ok),
-            n_deact=jnp.where(res, s1.n_deact,
-                              st_k.n_deact + s1.n_deact * ok),
+            n_act=s.n_act + jnp.where(res, 0, st_k.n_act),
+            n_deact=s.n_deact + jnp.where(res, 0, st_k.n_deact),
         )
 
-        # ---- carried state for the next solve
-        rinv_new = jnp.stack(
-            [jnp.zeros_like(carried.rinv[:, 0]) if stash[k] is None
-             else stash[k][3] for k in range(p)], axis=1)
-        carried_t = Carried(rinv=rinv_new, pos=carried.pos,
-                            ranks=carried.ranks)
+        # --- carried state for the next solve
+        carried_t = Carried(rinv=rinv_c, pos=pos_c, ranks=ranks_c)
         carried_k = bootstrap_carried(factors_k)
         carried_new = jax.tree_util.tree_map(
             lambda a_t, a_k: jnp.where(
                 res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
             carried_t, carried_k)
         return final, carried_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "params", "x_guess_specified",
+                     "v0_specified", "tile", "interpret", "vmem_limit_mb",
+                     "compact", "tile_b", "panel_unroll", "compact_rounds",
+                     "ns_iters", "cert_tol", "ext_steps"),
+)
+def solve_core_cold_tracked(
+    A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
+    struct: Structure, params: ParametersLexLSI,
+    x_guess_specified: bool = False, v0_specified: bool = False,
+    tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
+    compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
+    compact_rounds: int = 1,
+    ns_iters: int = 10, cert_tol: float = 1e-3, ext_steps: int = 1,
+):
+    """Cold-start batched solve through the tracker loop.
+
+    No carried state exists at a cold start, so ONE exact kernel
+    iteration runs first (``iter_cap=1``) — it factorizes the initial
+    working set with the greedy pivoted panel and exports the factors —
+    then the tracker loop (:func:`_tracked_tail`) continues every
+    remaining active-set iteration as batched MXU matmuls, with
+    per-instance kernel fallback on rank loss.  Same restrictions as
+    :func:`solve_core_tracked`.  Returns ``(state, carried')``.
+
+    This is the cold-solve accelerator (BASELINE config 2: ~80-200
+    iterations per solve, each a full refactorization in the reference,
+    ``lexlse.h:117``): all but the first iteration leave the serial
+    pivot chain entirely.
+    """
+    if params.regularization_type != RegularizationType.NONE:
+        raise LexLSError("solve_core_cold_tracked: regularization unsupported")
+    if (params.cycling_handling_enabled or params.log_working_set_enabled
+            or params.trace_enabled or params.use_phase1_v0):
+        raise LexLSError(
+            "solve_core_cold_tracked: cycling/log/trace/use_phase1_v0 "
+            "unsupported")
+    from .ops.fused import fused_active_set
+
+    p = len(struct.lexlse_dims)
+    prio = tuple(tuple(int(q) for q in struct.sweep_priority(j))
+                 for j in range(p))
+    elig = tuple(tuple(bool(e) for e in struct.sweep_eligible(j))
+                 for j in range(p))
+    var_idx = struct.var_idx if struct.simple_bounds else ()
+
+    with jax.default_matmul_precision("float32"):
+        s = jax.vmap(
+            lambda a, l, u, c, st, ns, x, v: _initial_state(
+                a, l, u, c, st, ns, x, v, struct, params, None,
+                x_guess_specified, v0_specified)
+        )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
+
+        kw = dict(
+            dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
+            tol_ld=params.tol_linear_dependence,
+            tol_feas=params.tol_feasibility,
+            tol_wrong=params.tol_wrong_sign_lambda,
+            tol_correct=params.tol_correct_sign_lambda,
+            max_fact=params.max_number_of_factorizations,
+            deact_first=params.deactivate_first_wrong_sign,
+            prio=prio, elig=elig, tile=tile, interpret=interpret,
+            vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll)
+        outs = fused_active_set(
+            A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
+            s.Ax, s.n_fact, iter_cap=1, **kw)
+        (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
+         status, rpadf, posf, ranksf) = outs
+        s1 = dataclasses.replace(
+            s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ct,
+            stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0],
+            n_act=na[:, 0], n_deact=nd[:, 0], n_fact=nf[:, 0],
+            status=status[:, 0])
+        carried0 = bootstrap_carried((rpadf, posf, ranksf))
+    return _tracked_tail(
+        A, s1, carried0, struct=struct, params=params, tile=tile,
+        interpret=interpret, vmem_limit_mb=vmem_limit_mb, compact=compact,
+        tile_b=tile_b, panel_unroll=panel_unroll,
+        compact_rounds=compact_rounds, ns_iters=ns_iters,
+        cert_tol=cert_tol, ext_steps=ext_steps)

@@ -1,0 +1,128 @@
+"""On-device golden validation of the FUSED kernel (VERDICT r2 item 4).
+
+Runs every inequality golden corpus (fixtures from the compiled
+reference, ``tools/golden/generate.py``) through ``solve_core_fused`` —
+the compiled Pallas kernel when a TPU is attached, interpret mode on
+CPU — at float32 tolerances, and checks per corpus:
+
+  * termination is PROBLEM_SOLVED whenever the reference solved;
+  * per-level constraint-violation norms match the reference's to an
+    f32-scale bound (default 1e-3 absolute — the f32 solve itself
+    carries ~1e-4 noise at these conditionings);
+  * x is finite.
+
+Aggregate convergence counters (the bench's only on-TPU check until
+round 3) cannot catch a Mosaic miscompile that perturbs trajectories
+but still converges; this can.  Run:
+
+    python tools/golden_fused_tpu.py            # TPU if available
+    LEXLS_GOLDEN_CPU=1 python tools/golden_fused_tpu.py   # CPU interpret
+
+Exit code 0 iff every corpus passes; prints one summary line per corpus
+and a final JSON line {"golden_fused": {"passed": N, "failed": M,
+"platform": ...}}.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+GOLDEN = os.path.join(_REPO, "tests", "golden")
+
+ATOL = float(os.environ.get("LEXLS_GOLDEN_ATOL", 1e-3))
+
+
+def main():
+    import jax
+
+    if os.environ.get("LEXLS_GOLDEN_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+    import jax.numpy as jnp
+
+    import lexls_tpu.lexlsi as jli
+    from lexls_tpu import types as T
+    from lexls_tpu.io import dat as io_dat
+    from lexls_tpu.parallel import batched_initial_arrays
+
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+    dtype = jnp.float32
+
+    with open(os.path.join(GOLDEN, "index.json")) as f:
+        index = json.load(f)
+
+    params = T.ParametersLexLSI(
+        max_number_of_factorizations=250,
+        tol_linear_dependence=1e-7,
+        tol_wrong_sign_lambda=1e-4,
+        tol_correct_sign_lambda=1e-6,
+        tol_feasibility=1e-5,
+    )
+
+    names = [n for n in sorted(index) if n.startswith("ineq_")] + ["test_01"]
+    passed = failed = 0
+    for name in names:
+        if name not in index:
+            continue
+        dat_path = index[name]["dat"]
+        if not os.path.isabs(dat_path):
+            dat_path = os.path.join(GOLDEN, dat_path)
+        with open(os.path.join(GOLDEN, name + ".json")) as f:
+            gold = json.load(f)
+        prob = io_dat.to_inequality(io_dat.load_dat_python(dat_path))
+        if prob.simple_bounds and name == "test_01":
+            pass  # supported: simple-bounds level 0 runs in-kernel
+        struct = jli.Structure.of(prob)
+        if params.regularization_type != T.RegularizationType.NONE:
+            continue
+        B = 1
+        c0, s0, n0, x0, v0 = batched_initial_arrays(prob, B, dtype)
+        A = jnp.asarray(prob.A, dtype)[None]
+        lb = jnp.asarray(prob.lb, dtype)[None]
+        ub = jnp.asarray(prob.ub, dtype)[None]
+        reg = jnp.asarray(prob.regularization, dtype)
+        st = jli.solve_core_fused(
+            A, lb, ub, c0, s0, n0, x0, v0, reg, struct=struct,
+            params=params, x_guess_specified=False, v0_specified=False,
+            tile=1, interpret=interpret, vmem_limit_mb=100)
+        x = np.asarray(st.x[0], np.float64)
+        status = int(st.status[0])
+        Ax = prob.A @ x
+        w = np.where(Ax <= prob.lb, Ax - prob.lb,
+                     np.where(Ax >= prob.ub, Ax - prob.ub, 0.0))
+        norms = []
+        ofs = 0
+        for d in prob.dims:
+            norms.append(float(np.linalg.norm(w[ofs:ofs + d])))
+            ofs += d
+        wref = np.concatenate(
+            [np.asarray(w, np.float64) for w in gold["violation"]])
+        gref = []
+        ofs = 0
+        for d in prob.dims:
+            gref.append(float(np.linalg.norm(wref[ofs:ofs + d])))
+            ofs += d
+        ok = np.all(np.isfinite(x))
+        if int(gold["status"]) == 0:
+            ok = ok and status == 0
+        ok = ok and all(abs(a - b) <= ATOL for a, b in zip(norms, gref))
+        tag = "OK " if ok else "FAIL"
+        print(f"{tag} {name}: status={status} (ref {gold['status']}) "
+              f"max|dnorm|={max(abs(a-b) for a, b in zip(norms, gref)):.2e} "
+              f"it={int(st.it[0])}", flush=True)
+        passed += ok
+        failed += not ok
+    print(json.dumps({"golden_fused": {
+        "passed": passed, "failed": failed, "platform": platform,
+        "atol": ATOL}}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
