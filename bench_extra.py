@@ -187,13 +187,29 @@ def bench_deep_regularized():
     base = jnp.asarray(np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
                                  for _ in range(B)]), dtype)
 
+    # "tracked": the regularized tracker loop (batched-matmul iterations
+    # + masked-Cholesky damping, XLA-tier fallback)
+    mode = os.environ.get("LEXLS_BENCH_REG_MODE", "tracked")
+    tile = 64 if on_tpu else B
+    vmem = 100 if on_tpu else 0
+
     @functools.partial(jax.jit, static_argnames=("N",))
     def run(base, N):
         def body(carry, _):
             Ac, acc = carry
-            st = solve_batched(Ac, lbs, ubs, c0, s0, n0,
-                               jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
-                               reg, struct=struct, params=params)
+            if mode == "tracked":
+                from lexls_tpu import tracker as trk
+
+                st, _ = trk.solve_core_cold_tracked(
+                    Ac, lbs, ubs, c0, s0, n0, jnp.zeros((B, n), dtype),
+                    jnp.zeros((B, m), dtype), struct=struct, params=params,
+                    tile=tile, interpret=not on_tpu, vmem_limit_mb=vmem,
+                    reg=reg)
+            else:
+                st = solve_batched(Ac, lbs, ubs, c0, s0, n0,
+                                   jnp.zeros((B, n), dtype),
+                                   jnp.zeros((B, m), dtype),
+                                   reg, struct=struct, params=params)
             return (Ac + 1e-9 * jnp.sum(st.x), acc + jnp.sum(st.status)), None
         (Ac, acc), _ = lax.scan(body, (base, jnp.zeros((), dtype)), None, length=N)
         return acc
@@ -203,7 +219,7 @@ def bench_deep_regularized():
     print(json.dumps({
         "metric": "deep_regularized_cold_solves_per_s",
         "value": round(rate, 2), "unit": "solves/s",
-        "config": f"B={B} n=24 levels=6 rank-deficient tikhonov",
+        "config": f"B={B} n=24 levels=6 rank-deficient tikhonov {mode}",
     }))
 
 

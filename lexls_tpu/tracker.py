@@ -93,6 +93,46 @@ def bootstrap_carried(factors: Tuple[jax.Array, jax.Array, jax.Array]) -> Carrie
     return Carried(rinv=rinv, pos=pos, ranks=ranks)
 
 
+def carried_from_lexqr(f, struct: Structure) -> Carried:
+    """Carried state from a BATCHED :class:`lexls_tpu.lexlse.LexQR`
+    (``jax.vmap`` of a factorize function): extract the per-level R
+    blocks from the physicalized LOD (column q holds pivot slot q) and
+    invert them.  Used by the regularized cold bootstrap, where the
+    first exact iteration runs on the XLA tier instead of the kernel."""
+    dims = struct.lexlse_dims
+    n = struct.n_var
+    B = f.lod.shape[0]
+    K = kmax_of(struct)
+    dtype = f.lod.dtype
+    iota_k = jnp.arange(K, dtype=jnp.int32)
+    iota_q = jnp.arange(n, dtype=jnp.int32)
+    rpads = []
+    fr = 0
+    for k, dim in enumerate(dims):
+        if dim == 0:
+            rpads.append(jnp.zeros((B, K, K), dtype))
+            continue
+        Kl = min(dim, n)
+        fc = f.first_col[:, k]
+        hot_s = ((iota_q[None, None, :] == fc[:, None, None]
+                  + iota_k[None, :, None])
+                 & (iota_k[None, :, None] < f.ranks[:, k][:, None, None])
+                 ).astype(dtype)                                # (B, K, n)
+        rows = f.lod[:, fr:fr + Kl, :n]                          # (B, Kl, n)
+        rp = jnp.einsum("bdq,bkq->bdk", rows, hot_s,
+                        precision=lax.Precision.HIGHEST)         # (B, Kl, K)
+        if Kl < K:
+            rp = jnp.concatenate(
+                [rp, jnp.zeros((B, K - Kl, K), dtype)], axis=1)
+        rpads.append(rp)
+        fr += dim
+    rpad = jnp.stack(rpads, axis=1)                              # (B, p, K, K)
+    pos = jax.vmap(
+        lambda pm: jnp.zeros((n,), jnp.int32).at[pm].set(
+            jnp.arange(n, dtype=jnp.int32)))(f.perm)
+    return bootstrap_carried((rpad, pos, f.ranks))
+
+
 def _ns_invsqrt(G: jax.Array, iters: int):
     """Scaled coupled Newton–Schulz iteration for G^{-1/2} of an SPD
     matrix, with a convergence certificate.
@@ -122,9 +162,27 @@ def _ns_invsqrt(G: jax.Array, iters: int):
     return Z / jnp.sqrt(tau), cert
 
 
+def _chol_solve_masked(D, d, act):
+    """Batched SPD solve on the active coordinates (identity-extended),
+    Cholesky + two triangular solves (mirrors
+    ``regularization._masked_chol_solve``)."""
+    nn = D.shape[-1]
+    eye = jnp.eye(nn, dtype=D.dtype)
+    act2 = act[..., :, None] & act[..., None, :]
+    Dm = jnp.where(act2, D, eye)
+    dm = jnp.where(act, d, 0.0)
+    L = jnp.linalg.cholesky(Dm)
+    z = lax.linalg.triangular_solve(L, dm[..., None], left_side=True,
+                                    lower=True)
+    y = lax.linalg.triangular_solve(L, z, left_side=True, lower=True,
+                                    transpose_a=True)[..., 0]
+    return y * act
+
+
 def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
                        params: ParametersLexLSI, *, ns_iters: int,
-                       cert_tol: float, ext_steps: int):
+                       cert_tol: float, ext_steps: int,
+                       reg_factors=None):
     """Re-factorize the masked staircase with the carried pivot order,
     absorbing rank GROWTH by greedy pivot extension.
 
@@ -172,6 +230,10 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
     ranks_out = []
     hp = lax.Precision.HIGHEST
     eye = jnp.eye(K, dtype=dtype)
+    # accumulated nullspace basis for the regularizers (physical frame on
+    # BOTH axes: rows = eliminated variables, columns = variables; the
+    # identity block of Z_k is implicit — ``lexlse.h:2592-2625``)
+    nsb = jnp.zeros((B, n, n + 1), dtype) if reg_factors is not None else None
     for k, (fr, dim) in enumerate(zip(offsets, dims)):
         fcs_list.append(fc_k)
         if dim == 0:
@@ -253,6 +315,61 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         beyond = pos >= (fc_k + rank_k)[:, None]
         ok = ok & (jnp.max(jnp.where(beyond, cn, -1.0), axis=1) < tol_ld)
 
+        # the multiplier identity needs the UNregularized R-frame rhs and
+        # the deflated level rhs (factorization residual = Q c - b)
+        c_orig = W[:, :, n]
+        b_lvl = lvl[:, :, n]
+
+        # ---- per-level Tikhonov damping (``regularize_tikhonov_1``,
+        # ``lexlse.h:1700-1763``): replace the R-frame rhs head by
+        # [R, T] y* with y* the damped least-squares solution over the
+        # remaining variables, coupled through the accumulated nullspace.
+        # The damped problem is basis-invariant (A1' A1 and the
+        # projector are the same for any orthonormal Q of the pivot
+        # block), so the non-triangular NS-orthogonalized frame computes
+        # the same y* as the reference's staircase.
+        if reg_factors is not None:
+            factor = reg_factors[k]
+            mu = factor * factor
+            act = (pos >= fc_k[:, None]).astype(dtype)          # (B, n)
+            elim = (pos < fc_k[:, None]).astype(dtype)
+            A1 = W[:, :, :n] * act[:, None, :]
+            Sm = nsb[:, :, :n] * elim[:, :, None] * act[:, None, :]
+            s_vec = nsb[:, :, n] * elim
+            D = (jnp.einsum("bki,bkj->bij", A1, A1, precision=hp)
+                 + mu * jnp.einsum("bri,brj->bij", Sm, Sm, precision=hp)
+                 + mu * jnp.eye(n, dtype=dtype))
+            d_vec = (jnp.einsum("bkn,bk->bn", A1, c_orig, precision=hp)
+                     + mu * jnp.einsum("brn,br->bn", Sm, s_vec,
+                                       precision=hp))
+            y_reg = _chol_solve_masked(D, d_vec, act > 0)
+            c_new = jnp.einsum("bkn,bn->bk", A1, y_reg, precision=hp)
+            do_reg = (factor != 0.0) & (rank_k > 0)
+            rows_live = iota_k[None, :] < rank_k[:, None]
+            c_reg = jnp.where(do_reg[:, None] & rows_live, c_new, c_orig)
+            W = jnp.concatenate([W[:, :, :n], c_reg[:, :, None]], axis=2)
+
+            # nullspace accumulation with the REGULARIZED rhs
+            # (``lexlse.h:2592-2625``), physical frame: new rows at the
+            # pivot columns hold [S_prev_R + I] R^{-1}; trailing columns
+            # and the rhs get the Gauss-style update
+            end_col = (fc_k + rank_k)[:, None]
+            SR = jnp.einsum("brn,bkn->brk", nsb[:, :, :n] * elim[:, :, None],
+                            hot, precision=hp)
+            hot_t = jnp.swapaxes(hot, 1, 2)                     # (B, n, K)
+            left = jnp.matmul(SR + hot_t, rinv_new, precision=hp)
+            trail_p1 = jnp.concatenate(
+                [(pos >= end_col).astype(dtype),
+                 jnp.ones((B, 1), dtype)], axis=1)              # (B, n+1)
+            Up = W * rows_live[:, :, None].astype(dtype) * trail_p1[:, None, :]
+            ns_upd = nsb - jnp.matmul(left, Up, precision=hp) * trail_p1[:, None, :]
+            left_scat = jnp.einsum("brk,bkn->brn", left, hot, precision=hp)
+            pivcol = ((pos >= fc_k[:, None]) & (pos < end_col)).astype(dtype)
+            ns_upd = jnp.concatenate(
+                [jnp.where(pivcol[:, None, :] > 0, left_scat,
+                           ns_upd[:, :, :n]), ns_upd[:, :, n:]], axis=2)
+            nsb = jnp.where((rank_k > 0)[:, None, None], ns_upd, nsb)
+
         # Gauss elimination of all lower-priority rows
         # (``lexlse.h:431-471``): L = B_P R^{-1}; applying the full
         # R-frame rows W cancels the pivot columns exactly
@@ -264,7 +381,7 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
             below = below - jnp.matmul(Lp, W, precision=hp)
             block = jnp.concatenate([block[:, : fr + dim], below], axis=1)
 
-        stash.append((hot, Q, W, rinv_new, Lp))
+        stash.append((hot, Q, W, rinv_new, Lp, c_orig, b_lvl))
         rinv_out.append(rinv_new)
         ranks_out.append(rank_k)
         fc_k = fc_k + rank_k
@@ -288,7 +405,7 @@ def _hot_solve(stash, fcs, pos, fixed_mask, fixed_val, struct: Structure):
     for k in range(p - 1, -1, -1):
         if stash[k] is None:
             continue
-        hot, _, W, rinv_new, _ = stash[k]
+        hot, _, W, rinv_new = stash[k][:4]
         trail = (pos >= fcs[:, k][:, None]).astype(dtype)      # (B, n)
         rhs = W[:, :, n] - jnp.einsum(
             "bkn,bn->bk", W[:, :, :n] * trail[:, None, :], x_var,
@@ -298,21 +415,21 @@ def _hot_solve(stash, fcs, pos, fixed_mask, fixed_val, struct: Structure):
     return jnp.where(fixed_mask, fixed_val, x_var)
 
 
-def _hot_lambda(stash, v_plus_dv, struct: Structure, dims_offsets):
+def _hot_lambda(stash, struct: Structure, dims_offsets, B, dtype):
     """All objectives' multipliers from the carried factorization.
 
-    Row space identity: for objective k the multiplier of level k's own
-    constraints is the optimal residual A x* − rhs on active rows,
-    which equals v + dv at the pre-step state (``_form_step`` anchors dv
-    to the rhs) — no Householder replay needed.  Higher-objective
-    multipliers back-propagate through Q_k = B̃_P R^{-1} and the Gauss
-    L-factors, mirroring the fused kernel's transposed sweep
-    (``ObjectiveSensitivity``, ``lexlse.h:611-762``)."""
+    Factorization-residual identity: for objective k the multiplier of
+    level k's own constraints is Q c − b̃ on the level's rows — the
+    residual the reference reconstructs by Householder replay of the
+    beyond-rank rhs tail (``ObjectiveSensitivity``, ``lexlse.h:611-762``;
+    regularization only rewrites the sub-rank head of the R-frame rhs,
+    ``lexlse.h:316-410``, so the UNregularized c feeds this identity).
+    Higher-objective multipliers back-propagate through Q_k = B̃_P R^{-1}
+    and the Gauss L-factors, mirroring the fused kernel's transposed
+    sweep."""
     p = len(struct.lexlse_dims)
     d0 = struct.d0
     mg = struct.m - d0
-    B = v_plus_dv.shape[0]
-    dtype = v_plus_dv.dtype
     hp = lax.Precision.HIGHEST
     K = stash[next(i for i in range(p) if stash[i] is not None)][1].shape[-1] \
         if any(s is not None for s in stash) else 1
@@ -325,9 +442,9 @@ def _hot_lambda(stash, v_plus_dv, struct: Structure, dims_offsets):
         if stash[k] is None:
             lam_parts[k] = jnp.zeros((B, p, dim), dtype)
             continue
-        hot, Q, W, rinv_new, Lp = stash[k]
+        hot, Q, W, rinv_new, Lp, c_orig, b_lvl = stash[k]
         seg_gt = jnp.einsum("bpk,bdk->bpd", zc[k], Q, precision=hp)
-        seg_kk = v_plus_dv[:, d0 + fr: d0 + fr + dim]
+        seg_kk = jnp.einsum("bdk,bk->bd", Q, c_orig, precision=hp) - b_lvl
         seg = jnp.where(jvec == k, seg_kk[:, None, :], seg_gt)
         seg = jnp.where(jvec >= k, seg, 0.0)
         lam_parts[k] = seg
@@ -419,6 +536,7 @@ def solve_core_tracked(
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
     ns_iters: int = 10, cert_tol: float = 1e-3, ext_steps: int = 1,
+    reg=None,
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
 
@@ -435,13 +553,14 @@ def solve_core_tracked(
     ``carried`` comes from :func:`bootstrap_carried` of a previous
     solve's exported factors, or from this function's own second return
     value.  Returns ``(state, carried')``.
+
+    Regularization: plain TIKHONOV is supported (pass the per-level
+    ``reg`` factors with ``params.regularization_type == TIKHONOV``) —
+    the damped per-level solve runs as a batched masked Cholesky inside
+    the tracker loop, and fallback instances continue on the exact XLA
+    tier (the fused kernel has no regularization).
     """
-    if params.regularization_type != RegularizationType.NONE:
-        raise LexLSError("solve_core_tracked: regularization unsupported")
-    if (params.cycling_handling_enabled or params.log_working_set_enabled
-            or params.trace_enabled or params.use_phase1_v0):
-        raise LexLSError(
-            "solve_core_tracked: cycling/log/trace/use_phase1_v0 unsupported")
+    _check_tracked_config(params, reg, "solve_core_tracked")
     with jax.default_matmul_precision("float32"):
         s0 = jax.vmap(
             lambda a, l, u, c, st, ns, x, v: _initial_state(
@@ -453,12 +572,65 @@ def solve_core_tracked(
         interpret=interpret, vmem_limit_mb=vmem_limit_mb, compact=compact,
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
-        cert_tol=cert_tol, ext_steps=ext_steps)
+        cert_tol=cert_tol, ext_steps=ext_steps,
+        reg=None if params.regularization_type == RegularizationType.NONE
+        else reg)
+
+
+def _check_tracked_config(params: ParametersLexLSI, reg, name: str):
+    if params.regularization_type not in (
+            RegularizationType.NONE, RegularizationType.TIKHONOV):
+        raise LexLSError(
+            f"{name}: only NONE/TIKHONOV regularization supported")
+    if params.regularization_type == RegularizationType.TIKHONOV:
+        if reg is None:
+            raise LexLSError(f"{name}: TIKHONOV needs reg factors")
+        if params.variable_regularization_factor != 0.0:
+            raise LexLSError(
+                f"{name}: variable regularization factor unsupported")
+    if (params.cycling_handling_enabled or params.log_working_set_enabled
+            or params.trace_enabled or params.use_phase1_v0):
+        raise LexLSError(
+            f"{name}: cycling/log/trace/use_phase1_v0 unsupported")
+
+
+def _xla_tail(A, s, reg, struct: Structure, params: ParametersLexLSI):
+    """Exact-tier batched continuation from a mid-solve state: the
+    vmapped reference iteration (``_verify_working_set``) under a
+    ``while_loop``, with converged instances frozen by predication.
+    Serves as the tracker's fallback when the fused kernel cannot (the
+    regularized configurations)."""
+    from .lexlsi import _verify_working_set
+
+    unknown = int(TerminationStatus.UNKNOWN)
+    max_fact = params.max_number_of_factorizations
+
+    def alive_of(s):
+        return ((s.status == unknown)
+                & ((s.it == 0) | (s.n_fact < max_fact)))
+
+    def body(s):
+        s_next = jax.vmap(
+            lambda si, ai: _verify_working_set(si, ai, struct, params, reg)
+        )(s, A)
+        alive = alive_of(s)
+        return jax.tree_util.tree_map(
+            lambda a_new, a_old: jnp.where(
+                alive.reshape((-1,) + (1,) * (a_new.ndim - 1)),
+                a_new, a_old),
+            s_next, s)
+
+    s = lax.while_loop(lambda s: jnp.any(alive_of(s)), body, s)
+    return dataclasses.replace(
+        s, status=jnp.where(
+            s.status == unknown,
+            int(TerminationStatus.MAX_NUMBER_OF_FACTORIZATIONS_EXCEEDED),
+            s.status))
 
 
 def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                   interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
-                  compact_rounds, ns_iters, cert_tol, ext_steps):
+                  compact_rounds, ns_iters, cert_tol, ext_steps, reg=None):
     """The tracker while-loop + kernel handover, from an already-built
     batched state (phase 1 done, or a mid-solve state from a capped
     kernel phase — the cold-start driver)."""
@@ -499,7 +671,8 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                                   precision=lax.Precision.HIGHEST)
             ok, stash, fcs, pos_n, ranks_n, rinv_n = _factorize_carried(
                 Agz, bgz, rinv_c, pos_c, ranks_c, struct, params,
-                ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps)
+                ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps,
+                reg_factors=reg)
 
             x_star = _hot_solve(stash, fcs, pos_n, fixed_mask, fixed_val,
                                 struct)
@@ -515,7 +688,7 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             )(s.ctr_type, s.Ax, Adx, s.v, dv, s.lb, s.ub)
             blocking = brow >= 0
 
-            lam_all = _hot_lambda(stash, s.v + dv, struct, offsets)
+            lam_all = _hot_lambda(stash, struct, offsets, B, dtype)
             found_rm, rrow = _select_removal(
                 lam_all, s.ctr_type, s.stamp, Ag, fixed_mask, struct, params)
             want_sweep = jnp.logical_not(blocking)
@@ -570,28 +743,43 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             cond, body,
             (s0, carried.rinv, carried.pos, carried.ranks, fall0))
 
-        # --- kernel handover: fallen instances continue from their
-        # current state; everyone else is parked (their kernel outputs
-        # are discarded below; status is not a kernel input, so parking
-        # goes through the factorization budget)
+        # --- fallback handover: fallen instances continue from their
+        # current state.  Without regularization the fused Pallas kernel
+        # continues (everyone else is parked: their kernel outputs are
+        # discarded below; status is not a kernel input, so parking goes
+        # through the factorization budget).  With regularization the
+        # kernel is unavailable — the exact XLA tier continues instead
+        # (its per-instance predication needs no parking), and the
+        # carried factors of fallen instances are invalidated (ranks 0:
+        # they re-enter the tracker as an immediate fallback next solve).
         resolved = s.status != unknown
-        it0 = s.it
-        s_in = dataclasses.replace(
-            s, n_fact=jnp.where(resolved, max_fact, s.n_fact))
-        order = jnp.argsort(resolved)
-        iota_b = jnp.arange(B, dtype=jnp.int32)
-        hot_b = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
-        g = lambda arr: _permute_rows(arr, hot_b)
-        s_perm = jax.tree_util.tree_map(g, s_in)
-        st_k, factors_k = _fused_tail(
-            g(A), s_perm, g(it0), struct=struct, params=params, tile=tile,
-            interpret=interpret, vmem_limit_mb=vmem_limit_mb,
-            compact=compact, tile_b=tile_b, panel_unroll=panel_unroll,
-            compact_rounds=compact_rounds, return_factors=True)
-        hot_t = hot_b.T
-        gi = lambda arr: _permute_rows(arr, hot_t)
-        st_k = jax.tree_util.tree_map(gi, st_k)
-        factors_k = jax.tree_util.tree_map(gi, factors_k)
+        if reg is None:
+            it0 = s.it
+            s_in = dataclasses.replace(
+                s, n_fact=jnp.where(resolved, max_fact, s.n_fact))
+            order = jnp.argsort(resolved)
+            iota_b = jnp.arange(B, dtype=jnp.int32)
+            hot_b = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
+            g = lambda arr: _permute_rows(arr, hot_b)
+            s_perm = jax.tree_util.tree_map(g, s_in)
+            st_k, factors_k = _fused_tail(
+                g(A), s_perm, g(it0), struct=struct, params=params,
+                tile=tile, interpret=interpret,
+                vmem_limit_mb=vmem_limit_mb, compact=compact,
+                tile_b=tile_b, panel_unroll=panel_unroll,
+                compact_rounds=compact_rounds, return_factors=True)
+            hot_t = hot_b.T
+            gi = lambda arr: _permute_rows(arr, hot_t)
+            st_k = jax.tree_util.tree_map(gi, st_k)
+            factors_k = jax.tree_util.tree_map(gi, factors_k)
+            carried_k = bootstrap_carried(factors_k)
+        else:
+            st_k = _xla_tail(A, s, reg, struct, params)
+            carried_k = Carried(
+                rinv=jnp.zeros_like(carried.rinv),
+                pos=jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32), (B, n)),
+                ranks=jnp.zeros((B, p), jnp.int32))
 
         # --- merge: tracker-resolved instances keep the tracker result;
         # kernel phases restart n_act/n_deact at zero, so counters sum
@@ -601,15 +789,16 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             lambda a_t, a_k: jnp.where(
                 res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
             s, st_k)
-        final = dataclasses.replace(
-            final,
-            n_act=s.n_act + jnp.where(res, 0, st_k.n_act),
-            n_deact=s.n_deact + jnp.where(res, 0, st_k.n_deact),
-        )
+        if reg is None:
+            final = dataclasses.replace(
+                final,
+                n_act=s.n_act + jnp.where(res, 0, st_k.n_act),
+                n_deact=s.n_deact + jnp.where(res, 0, st_k.n_deact),
+            )
+        # (the XLA tail increments s's own counters, nothing to add)
 
         # --- carried state for the next solve
         carried_t = Carried(rinv=rinv_c, pos=pos_c, ranks=ranks_c)
-        carried_k = bootstrap_carried(factors_k)
         carried_new = jax.tree_util.tree_map(
             lambda a_t, a_k: jnp.where(
                 res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
@@ -632,6 +821,7 @@ def solve_core_cold_tracked(
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
     ns_iters: int = 10, cert_tol: float = 1e-3, ext_steps: int = 1,
+    reg=None,
 ):
     """Cold-start batched solve through the tracker loop.
 
@@ -648,13 +838,8 @@ def solve_core_cold_tracked(
     ``lexlse.h:117``): all but the first iteration leave the serial
     pivot chain entirely.
     """
-    if params.regularization_type != RegularizationType.NONE:
-        raise LexLSError("solve_core_cold_tracked: regularization unsupported")
-    if (params.cycling_handling_enabled or params.log_working_set_enabled
-            or params.trace_enabled or params.use_phase1_v0):
-        raise LexLSError(
-            "solve_core_cold_tracked: cycling/log/trace/use_phase1_v0 "
-            "unsupported")
+    _check_tracked_config(params, reg, "solve_core_cold_tracked")
+    reg_mode = params.regularization_type != RegularizationType.NONE
     from .ops.fused import fused_active_set
 
     p = len(struct.lexlse_dims)
@@ -671,30 +856,48 @@ def solve_core_cold_tracked(
                 x_guess_specified, v0_specified)
         )(A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0)
 
-        kw = dict(
-            dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
-            tol_ld=params.tol_linear_dependence,
-            tol_feas=params.tol_feasibility,
-            tol_wrong=params.tol_wrong_sign_lambda,
-            tol_correct=params.tol_correct_sign_lambda,
-            max_fact=params.max_number_of_factorizations,
-            deact_first=params.deactivate_first_wrong_sign,
-            prio=prio, elig=elig, tile=tile, interpret=interpret,
-            vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll)
-        outs = fused_active_set(
-            A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
-            s.Ax, s.n_fact, iter_cap=1, **kw)
-        (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
-         status, rpadf, posf, ranksf) = outs
-        s1 = dataclasses.replace(
-            s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ct,
-            stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0],
-            n_act=na[:, 0], n_deact=nd[:, 0], n_fact=nf[:, 0],
-            status=status[:, 0])
-        carried0 = bootstrap_carried((rpadf, posf, ranksf))
+        if reg_mode:
+            # regularized bootstrap: one exact-tier iteration (the
+            # kernel has no regularization) + carried factors from the
+            # vmapped fast factorization of the initial working set
+            from .lexlsi import (_factorize, _masked_general as _mg,
+                                 _verify_with_f)
+
+            def one_iter(si, ai):
+                Ag_i, bg_i, fm_i, fv_i = _mg(ai, si.lb, si.ub,
+                                             si.ctr_type, struct)
+                f = _factorize(ai, si.lb, si.ub, si.ctr_type, struct,
+                               params, reg)
+                return _verify_with_f(si, ai, Ag_i, f, struct, params), f
+
+            s1, f_b = jax.vmap(one_iter)(s, A)
+            carried0 = carried_from_lexqr(f_b, struct)
+        else:
+            kw = dict(
+                dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
+                tol_ld=params.tol_linear_dependence,
+                tol_feas=params.tol_feasibility,
+                tol_wrong=params.tol_wrong_sign_lambda,
+                tol_correct=params.tol_correct_sign_lambda,
+                max_fact=params.max_number_of_factorizations,
+                deact_first=params.deactivate_first_wrong_sign,
+                prio=prio, elig=elig, tile=tile, interpret=interpret,
+                vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll)
+            outs = fused_active_set(
+                A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
+                s.Ax, s.n_fact, iter_cap=1, **kw)
+            (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
+             status, rpadf, posf, ranksf) = outs
+            s1 = dataclasses.replace(
+                s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ct,
+                stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0],
+                n_act=na[:, 0], n_deact=nd[:, 0], n_fact=nf[:, 0],
+                status=status[:, 0])
+            carried0 = bootstrap_carried((rpadf, posf, ranksf))
     return _tracked_tail(
         A, s1, carried0, struct=struct, params=params, tile=tile,
         interpret=interpret, vmem_limit_mb=vmem_limit_mb, compact=compact,
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
-        cert_tol=cert_tol, ext_steps=ext_steps)
+        cert_tol=cert_tol, ext_steps=ext_steps,
+        reg=reg if reg_mode else None)

@@ -226,3 +226,57 @@ def test_cold_tracked_matches_xla(trial):
     np.testing.assert_allclose(
         _level_norms(np.asarray(stt.v), struct),
         _level_norms(np.asarray(ref.v), struct), atol=1e-7)
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_reg_tracked_cold(trial):
+    """Regularized (TIKHONOV) tracker on the config-3 shape: statuses
+    match the XLA tier, and every tracker-solved endpoint is a FIXED
+    POINT of the reference iteration (one `_verify_working_set` from the
+    endpoint declares solved with no working-set change and unchanged
+    v).  Under regularization the active-set method is heuristic —
+    rank-deficient tie-breaks legitimately diverge between arithmetic
+    paths — so terminal-point validity, not norm equality, is the
+    criterion (the reference itself can cycle here, which is why
+    cycling handling exists, ``cycling.h``)."""
+    import dataclasses as dc
+
+    from lexls_tpu.lexlsi import _verify_working_set
+
+    rng = np.random.default_rng(500 + trial)
+    dims = [6, 5, 5, 4, 4, 4]
+    rks = [4, 3, 3, 2, 2, 2]
+    prob = gen.random_inequality_hierarchy(rng, 24, dims, ranks=rks,
+                                           equality_fraction=0.1)
+    prob.regularization = np.full(6, 0.05)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(
+        regularization_type=T.RegularizationType.TIKHONOV,
+        max_number_of_factorizations=64)
+    B, dt = 6, jnp.float64
+    m = prob.n_ctr
+    c0, s0, n0, xz, v0 = batched_initial_arrays(prob, B, dt)
+    As = jnp.asarray(np.stack([
+        prob.A + 1e-2 * rng.standard_normal(prob.A.shape)
+        for _ in range(B)]), dt)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    reg = jnp.asarray(prob.regularization, dt)
+    ref = solve_batched(As, lbs, ubs, c0, s0, n0, xz, v0, reg,
+                        struct=struct, params=params,
+                        x_guess_specified=False)
+    stt, car = tracker.solve_core_cold_tracked(
+        As, lbs, ubs, c0, s0, n0, xz, v0, struct=struct, params=params,
+        tile=B, interpret=True, reg=reg)
+    np.testing.assert_array_equal(np.asarray(stt.status),
+                                  np.asarray(ref.status))
+    for b in range(B):
+        if int(stt.status[b]) != 0:
+            continue
+        sb = jax.tree_util.tree_map(lambda a: a[b], stt)
+        sb = dc.replace(sb, status=jnp.zeros((), jnp.int32) - 1)
+        s1 = _verify_working_set(sb, As[b], struct, params, reg)
+        assert int(s1.status) == 0, (trial, b)
+        np.testing.assert_array_equal(np.asarray(s1.ctr_type),
+                                      np.asarray(sb.ctr_type))
+        assert float(jnp.max(jnp.abs(s1.v - sb.v))) < 1e-7, (trial, b)
