@@ -133,33 +133,39 @@ def carried_from_lexqr(f, struct: Structure) -> Carried:
     return bootstrap_carried((rpad, pos, f.ranks))
 
 
-def _ns_invsqrt(G: jax.Array, iters: int):
-    """Scaled coupled Newton–Schulz iteration for G^{-1/2} of an SPD
-    matrix, with a convergence certificate.
+def _orthonormalize_z(G: jax.Array, live2, passes: int):
+    """Z with (MZ)ᵀ(MZ) = I given G = MᵀM, by CholeskyQR passes, with an
+    orthogonality certificate.
 
-    Gershgorin row-sum scaling puts every eigenvalue of G/τ in (0, 1];
-    the coupled iteration (Y → (G/τ)^{1/2}, Z → (G/τ)^{-1/2}) then
-    converges globally for SPD inputs — linear (×1.5 per step) while
-    small eigenvalues grow toward 1, quadratic after.  At the fixed
-    point the step matrix T = 1.5 I − 0.5 Z Y is the identity, so
-    ``max|T − I|`` of the LAST step certifies convergence (it bounds
-    ||I − ZGZ^{T}||): near-singular G (a genuine rank loss) fails the
-    certificate instead of silently producing garbage.
+    Any right factor Z that orthonormalizes M works (the tracker never
+    needs Z symmetric): per pass, Z ← Z · chol(ZᵀGZ)⁻ᵀ, where the
+    triangular inverse is Newton–Schulz doubling
+    (:func:`lexls_tpu.ops.tri.tri_inv_upper` — EXACT in ceil(log2 K)
+    matmul rounds, conditioning-independent).  Unlike a Newton–Schulz
+    inverse square root, this converges in a fixed small number of
+    passes for ANY κ(M)² within the dtype — an activated constraint row
+    can push ‖G − I‖ to ~‖a‖² (thousands at the benchmark scale), where
+    an invsqrt iteration would need dozens of rounds.  One pass loses
+    ~log10(κ²) digits; the second pass restores orthonormality to
+    roundoff for κ(M) ≲ 1/√ε.  A rank-deficient G (genuine rank loss)
+    makes the Cholesky produce NaNs, which fail the certificate — the
+    instance falls back to the exact tier instead of silently
+    continuing.
 
-    Returns ``(Z ≈ G^{-1/2}, cert)`` with cert (B,)."""
+    Returns ``(Z, cert)`` with cert = max|ZᵀGZ − I| (B,)."""
     K = G.shape[-1]
     eye = jnp.eye(K, dtype=G.dtype)
-    tau = jnp.max(jnp.sum(jnp.abs(G), axis=-1), axis=-1)      # (B,)
-    tau = jnp.maximum(tau, 1e-30)[..., None, None]
-    Y = G / tau
     Z = jnp.broadcast_to(eye, G.shape)
+    Gz = G
     cert = None
-    for _ in range(iters):
-        T = 1.5 * eye - 0.5 * (Z @ Y)
-        cert = jnp.max(jnp.abs(T - eye), axis=(-2, -1))
-        Y = Y @ T
-        Z = T @ Z
-    return Z / jnp.sqrt(tau), cert
+    for _ in range(max(1, passes)):
+        L = jnp.linalg.cholesky(Gz)
+        Zi = tri_inv_upper(jnp.swapaxes(L, -1, -2))
+        Z = (Z @ Zi) * live2
+        Gz = jnp.swapaxes(Z, -1, -2) @ G @ Z
+        Gz = jnp.where(live2, Gz, eye)
+        cert = jnp.max(jnp.abs(Gz - eye), axis=(-2, -1))
+    return Z, cert
 
 
 def _chol_solve_masked(D, d, act):
@@ -254,9 +260,8 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         M = jnp.matmul(P0, rinv_k, precision=hp)               # (B, dim, K)
         G = jnp.einsum("bdi,bdj->bij", M, M, precision=hp)
         Gt = jnp.where(live2, G, eye)
-        Z, cert = _ns_invsqrt(Gt, ns_iters)
+        Z, cert = _orthonormalize_z(Gt, live2.astype(dtype), ns_iters)
         ok = ok & (cert < cert_tol)
-        Z = Z * live2.astype(dtype)
         Q = jnp.matmul(M, Z, precision=hp)                     # (B, dim, K)
         rinv_new = jnp.matmul(rinv_k, Z, precision=hp)
         W = jnp.einsum("bdk,bdc->bkc", Q, lvl, precision=hp)   # (B, K, n+1)
@@ -264,13 +269,17 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         # greedy extension: absorb rank growth (a newly activated
         # independent row) with the reference's own pivot rule
         colnorm0 = jnp.sum(lvl[:, :, :n] * lvl[:, :, :n], axis=1)
+        # the downdated-norm cancellation noise floor (see acceptance
+        # check (b) below) also gates the extension trigger
+        ceps = 16.0 * jnp.finfo(dtype).eps
+        tol_eff = jnp.maximum(tol_ld, ceps * colnorm0)          # (B, n)
         for _ in range(ext_steps):
             cn = colnorm0 - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1)
             end_k = fc_k + rank_k
             beyond = pos >= end_k[:, None]
-            cn_b = jnp.where(beyond, cn, -1.0)
+            cn_b = jnp.where(beyond & (cn >= tol_eff), cn, -1.0)
             mx = jnp.max(cn_b, axis=1)
-            grow = (mx >= tol_ld) & (rank_k < min(dim, K))
+            grow = (mx > 0.0) & (rank_k < min(dim, K))
             # smallest position among the max-norm candidates
             cand = beyond & (cn_b == mx[:, None])
             qmin = jnp.min(jnp.where(cand, pos, big), axis=1)
@@ -309,11 +318,31 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
                          * self_f[:, None, :])
             rank_k = rank_k + grow.astype(jnp.int32)
 
-        # acceptance: pivot-set independence + no rank growth left
-        ok = ok & (jnp.sum(rinv_new * rinv_new, axis=(1, 2)) <= 1.0 / tol_ld)
+        # acceptance: the greedy panel's own rules, evaluated on the
+        # carried factorization.
+        # (a) Every pivot's prefix-downdated norm stays above the
+        #     dependence tolerance (with 4x slack so pivots that greedy
+        #     accepted at exactly tol do not flap under drift): with the
+        #     CholeskyQR orthonormalization Rinv is upper-TRIANGULAR
+        #     throughout (bootstrap is triangular, Z and the extension
+        #     append are triangular), so diag(R) = 1/diag(Rinv) IS the
+        #     prefix norm (``lexlse.h:214-217``'s quantity).
+        rdiag_inv = jnp.diagonal(rinv_new, axis1=1, axis2=2)    # (B, K)
+        live_now = iota_k[None, :] < rank_k[:, None]
+        piv_norm2 = jnp.where(live_now,
+                              1.0 / jnp.maximum(rdiag_inv * rdiag_inv,
+                                                1e-30),
+                              jnp.inf)
+        ok = ok & (jnp.min(piv_norm2, axis=1) >= 0.25 * tol_ld)
+        # (b) No trailing column above the tolerance remains (no missed
+        #     rank) — floored at the dtype's cancellation noise: the
+        #     norm downdate colnorm - sum(W^2) carries ~eps*colnorm of
+        #     noise (the greedy panel's own downdated norms share this
+        #     floor at float32; ``lexlse.h:260-266``).
         cn = colnorm0 - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1)
         beyond = pos >= (fc_k + rank_k)[:, None]
-        ok = ok & (jnp.max(jnp.where(beyond, cn, -1.0), axis=1) < tol_ld)
+        ok = ok & jnp.logical_not(
+            jnp.any(beyond & (cn >= tol_eff), axis=1))
 
         # the multiplier identity needs the UNregularized R-frame rhs and
         # the deflated level rhs (factorization residual = Q c - b)
@@ -535,7 +564,7 @@ def solve_core_tracked(
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
-    ns_iters: int = 10, cert_tol: float = 1e-3, ext_steps: int = 1,
+    ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
     reg=None,
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
@@ -710,14 +739,17 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             stamp = jnp.where(blk2 & brow_hot, s.next_stamp[:, None],
                               jnp.where(rm2 & rrow_hot, -1, s.stamp))
             next_stamp = s.next_stamp + (blocking & commit).astype(jnp.int32)
-            take = ((alpha > 0.0) & commit).astype(dtype)[:, None]
-            x = s.x + take * alpha[:, None] * dx
-            v = s.v + take * alpha[:, None] * dv
-            Ax = s.Ax + take * alpha[:, None] * Adx
-            cf = commit.astype(dtype)[:, None]
-            dx_c = s.dx + cf * (dx - s.dx)
-            dv_c = s.dv + cf * (dv - s.dv)
-            Adx_c = s.Adx + cf * (Adx - s.Adx)
+            # gate by SELECTION, never by multiplication: a rejected carry
+            # (ok=False) legitimately carries NaNs out of the Cholesky —
+            # 0.0 * NaN = NaN would poison the state the fallback resumes
+            take = ((alpha > 0.0) & commit)[:, None]
+            x = jnp.where(take, s.x + alpha[:, None] * dx, s.x)
+            v = jnp.where(take, s.v + alpha[:, None] * dv, s.v)
+            Ax = jnp.where(take, s.Ax + alpha[:, None] * Adx, s.Ax)
+            cm = commit[:, None]
+            dx_c = jnp.where(cm, dx, s.dx)
+            dv_c = jnp.where(cm, dv, s.dv)
+            Adx_c = jnp.where(cm, Adx, s.Adx)
 
             status = jnp.where(commit & solved,
                                int(TerminationStatus.PROBLEM_SOLVED),
@@ -820,7 +852,7 @@ def solve_core_cold_tracked(
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
-    ns_iters: int = 10, cert_tol: float = 1e-3, ext_steps: int = 1,
+    ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
     reg=None,
 ):
     """Cold-start batched solve through the tracker loop.
