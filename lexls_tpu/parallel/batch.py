@@ -65,8 +65,10 @@ def _local_solver(struct, params, x_guess_specified, v0_specified,
                   mode, fused_kw):
     """Per-shard solve function shared by the 1-axis and 2-axis mesh
     builders: ``mode="xla"`` runs the vmapped general-tier solver,
-    ``mode="fused"`` the whole-solve Pallas kernel (the throughput tier —
-    BASELINE configs 4/5 ship the fast tier through this path)."""
+    ``mode="fused"`` the whole-solve Pallas kernel, ``mode="tracked"``
+    the carried-factorization tracker loop (batched MXU matmuls with a
+    per-instance kernel fallback) — the round-3 throughput tier.
+    BASELINE configs 4/5 ship the fast tiers through this path."""
     if mode == "fused":
         from ..lexlsi import solve_core_fused
 
@@ -76,6 +78,16 @@ def _local_solver(struct, params, x_guess_specified, v0_specified,
                 struct=struct, params=params,
                 x_guess_specified=x_guess_specified,
                 v0_specified=v0_specified, **fused_kw)
+    elif mode == "tracked":
+        from .. import tracker as trk
+
+        def run(A, lb, ub, c0, s0, n0, x0, v0, reg):
+            st, _ = trk.solve_core_cold_tracked(
+                A, lb, ub, c0, s0, n0, x0, v0,
+                struct=struct, params=params,
+                x_guess_specified=x_guess_specified,
+                v0_specified=v0_specified, reg=reg, **fused_kw)
+            return st
     elif mode == "xla":
         def run(A, lb, ub, c0, s0, n0, x0, v0, reg):
             return solve_batched(

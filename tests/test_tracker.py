@@ -95,6 +95,34 @@ def _drive(trial, kicks, B=8):
         x_prev, ct_prev = stt.x, stt.ctr_type
 
 
+def test_orthonormalize_z_conditioning_and_rank_loss():
+    """CholeskyQR re-orthonormalization: two passes restore (MZ)T(MZ)=I
+    to roundoff for kappa(M) up to ~1/sqrt(eps) of the dtype (the regime
+    an activated constraint row creates), and a genuinely rank-deficient
+    G fails the certificate (NaN) instead of silently continuing."""
+    K, B = 12, 6
+    rng = np.random.default_rng(7)
+    eye = np.eye(K)
+    for kappa in (1.0, 1e2, 1e4, 1e6):
+        Q, _ = np.linalg.qr(rng.standard_normal((K, K)))
+        s = np.geomspace(1.0, 1.0 / kappa, K)
+        M = np.stack([Q * s for _ in range(B)])  # kappa(M) = kappa
+        G = jnp.asarray(np.swapaxes(M, 1, 2) @ M)
+        live2 = jnp.ones((B, K, K))
+        Z, cert = tracker._orthonormalize_z(G, live2, passes=2)
+        assert float(jnp.max(cert)) < 1e-8, kappa
+        MZ = M @ np.asarray(Z)
+        err = np.max(np.abs(np.swapaxes(MZ, 1, 2) @ MZ - eye))
+        assert err < 1e-7, (kappa, err)
+    # rank-deficient: zero out one singular value entirely
+    s = np.ones(K); s[-1] = 0.0
+    Q, _ = np.linalg.qr(rng.standard_normal((K, K)))
+    M = np.stack([Q * s for _ in range(B)])
+    G = jnp.asarray(np.swapaxes(M, 1, 2) @ M)
+    _, cert = tracker._orthonormalize_z(G, jnp.ones((B, K, K)), passes=2)
+    assert not bool(jnp.any(cert < 1e-3))  # NaN or large -> rejected
+
+
 @pytest.mark.parametrize("trial", range(4))
 def test_tracked_small_drift(trial):
     """Small drift: the carry is accepted, most instances resolve in the

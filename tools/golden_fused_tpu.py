@@ -17,6 +17,7 @@ but still converges; this can.  Run:
 
     python tools/golden_fused_tpu.py            # TPU if available
     LEXLS_GOLDEN_CPU=1 python tools/golden_fused_tpu.py   # CPU interpret
+    LEXLS_GOLDEN_MODE=tracked python tools/golden_fused_tpu.py  # tracker tier
 
 Exit code 0 iff every corpus passes; prints one summary line per corpus
 and a final JSON line {"golden_fused": {"passed": N, "failed": M,
@@ -34,6 +35,7 @@ sys.path.insert(0, _REPO)
 GOLDEN = os.path.join(_REPO, "tests", "golden")
 
 ATOL = float(os.environ.get("LEXLS_GOLDEN_ATOL", 1e-3))
+MODE = os.environ.get("LEXLS_GOLDEN_MODE", "fused")
 
 
 def main():
@@ -50,6 +52,7 @@ def main():
     from lexls_tpu.io import dat as io_dat
     from lexls_tpu.parallel import batched_initial_arrays
 
+    mode = MODE
     platform = jax.devices()[0].platform
     interpret = platform != "tpu"
     dtype = jnp.float32
@@ -87,10 +90,18 @@ def main():
         lb = jnp.asarray(prob.lb, dtype)[None]
         ub = jnp.asarray(prob.ub, dtype)[None]
         reg = jnp.asarray(prob.regularization, dtype)
-        st = jli.solve_core_fused(
-            A, lb, ub, c0, s0, n0, x0, v0, reg, struct=struct,
-            params=params, x_guess_specified=False, v0_specified=False,
-            tile=1, interpret=interpret, vmem_limit_mb=100)
+        if mode == "tracked":
+            from lexls_tpu import tracker as trk
+
+            st, _ = trk.solve_core_cold_tracked(
+                A, lb, ub, c0, s0, n0, x0, v0, struct=struct,
+                params=params, x_guess_specified=False, v0_specified=False,
+                tile=1, interpret=interpret, vmem_limit_mb=100)
+        else:
+            st = jli.solve_core_fused(
+                A, lb, ub, c0, s0, n0, x0, v0, reg, struct=struct,
+                params=params, x_guess_specified=False, v0_specified=False,
+                tile=1, interpret=interpret, vmem_limit_mb=100)
         x = np.asarray(st.x[0], np.float64)
         status = int(st.status[0])
         Ax = prob.A @ x
@@ -118,7 +129,7 @@ def main():
               f"it={int(st.it[0])}", flush=True)
         passed += ok
         failed += not ok
-    print(json.dumps({"golden_fused": {
+    print(json.dumps({"golden_" + mode: {
         "passed": passed, "failed": failed, "platform": platform,
         "atol": ATOL}}))
     return 1 if failed else 0
