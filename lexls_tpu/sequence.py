@@ -246,3 +246,60 @@ def solve_sequence_batched_fused(
         cat(st0.x, outs[0]), cat(st0.v, outs[1]), cat(st0.status, outs[2]),
         cat(st0.it, outs[3]), cat(st0.n_fact, outs[4]), cat(st0.ctr_type, outs[5]),
     )
+
+
+def make_sharded_sequence_solver(
+    mesh,
+    struct: Structure,
+    params: ParametersLexLSI,
+    mode: str = "xla",
+    **fused_kw,
+):
+    """Warm-started sequences sharded over a device mesh: the full
+    composition of BASELINE config 4 (IK sequence) with config 5 (pod
+    batch).  The sequence-batch axis of ``A_seq`` (B, T, m, n) is
+    sharded over every mesh axis; each chip scans its local sequences
+    (``solve_sequence_batched`` for ``mode="xla"``,
+    :func:`solve_sequence_batched_fused` for ``mode="fused"`` /
+    ``"tracked"`` — the throughput tiers), and only the summary metrics
+    cross chips (``psum``/``pmax`` over ICI/DCN).
+
+    Returns ``fn(A_seq, lb_seq, ub_seq, reg) -> (outs, metrics)`` with
+    ``outs`` the 6-tuple of (B, T, ...) arrays of
+    :func:`solve_sequence_batched` and ``metrics = {"solved",
+    "max_iterations", "sum_iterations"}`` aggregated over every solve of
+    every sequence on every chip.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    spec = P(axes if len(axes) > 1 else axes[0])
+
+    def local(A_seq, lb_seq, ub_seq, reg):
+        if mode == "xla":
+            outs = solve_sequence_batched(
+                A_seq, lb_seq, ub_seq, reg, struct=struct, params=params)
+        elif mode in ("fused", "tracked"):
+            outs = solve_sequence_batched_fused(
+                A_seq, lb_seq, ub_seq, reg, struct=struct, params=params,
+                tracked=(mode == "tracked"), **fused_kw)
+        else:
+            raise ValueError(
+                f"unknown mode {mode!r} (use 'xla', 'fused' or 'tracked')")
+        status, it = outs[2], outs[3]
+        solved = jax.lax.psum(jnp.sum(status == 0).astype(jnp.int32), axes)
+        max_it = jax.lax.pmax(jnp.max(it), axes)
+        sum_it = jax.lax.psum(jnp.sum(it).astype(jnp.int32), axes)
+        return outs, {"solved": solved, "max_iterations": max_it,
+                      "sum_iterations": sum_it}
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=((spec,) * 6,
+                   {"solved": P(), "max_iterations": P(),
+                    "sum_iterations": P()}),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -123,6 +123,44 @@ def test_sharded_tracked_matches_vmap():
     assert int(metrics["solved"]) == int(jnp.sum(ref.status == 0))
 
 
+def test_sharded_sequence_matches_single():
+    """Warm-started sequences over the mesh (config 4 x config 5
+    composition): the sharded sequence solver matches the single-process
+    batched sequence driver for every tier."""
+    from lexls_tpu.sequence import (make_sharded_sequence_solver,
+                                    solve_sequence_batched)
+
+    rng = np.random.default_rng(9)
+    base = gen.random_inequality_hierarchy(
+        rng, 8, [4, 3], equality_fraction=0.2, tight_fraction=0.4)
+    struct = jli.Structure.of(base)
+    params = T.ParametersLexLSI()
+    B, Tn, m = 16, 3, base.n_ctr
+    A_seq = jnp.asarray(np.stack([
+        np.stack([base.A + 2e-3 * (t + 1) * rng.standard_normal(base.A.shape)
+                  for t in range(Tn)]) for _ in range(B)]))
+    lb_seq = jnp.broadcast_to(jnp.asarray(base.lb), (B, Tn, m))
+    ub_seq = jnp.broadcast_to(jnp.asarray(base.ub), (B, Tn, m))
+    reg = jnp.asarray(base.regularization)
+
+    ref = solve_sequence_batched(A_seq, lb_seq, ub_seq, reg,
+                                 struct=struct, params=params)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    for mode, kw in (("xla", {}),
+                     ("fused", dict(tile=2, interpret=True, compact=0)),
+                     ("tracked", dict(tile=2, interpret=True, compact=0))):
+        fn = make_sharded_sequence_solver(mesh, struct, params, mode=mode,
+                                          **kw)
+        outs, metrics = fn(A_seq, lb_seq, ub_seq, reg)
+        np.testing.assert_array_equal(np.asarray(outs[2]),
+                                      np.asarray(ref[2]), err_msg=mode)
+        # v is the pivot-set-invariant quantity (PARITY.md)
+        np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(ref[1]),
+                                   atol=1e-6, err_msg=mode)
+        assert int(metrics["solved"]) == int(jnp.sum(ref[2] == 0)), mode
+
+
 def test_sequence_matches_host_warm_start():
     """On-device scan warm-start == host loop passing x/active set."""
     rng = np.random.default_rng(2)

@@ -87,6 +87,33 @@ def corpus():
     return cases
 
 
+def warm_corpus():
+    """Warm-start cases (the reference's design point, hot_start.tex):
+    base problems whose cold golden supplies the guess for a drifted
+    problem, written as HierType-210 .dat (activation guess + SolGuess)
+    so the reference solves them warm-started through api_activate /
+    set_x0 exactly like the MEX binding."""
+    from lexls_tpu.oracle import generate as gen
+
+    cases = []
+    for trial in range(8):
+        rng = np.random.default_rng(9500 + trial)
+        n = int(rng.integers(6, 20))
+        p = int(rng.integers(2, 5))
+        dims = [int(rng.integers(2, 8)) for _ in range(p)]
+        simple = bool(rng.random() < 0.25) and dims[0] <= n
+        prob = gen.random_inequality_hierarchy(
+            rng, n, dims,
+            equality_fraction=float(rng.random() * 0.3),
+            tight_fraction=float(0.2 + rng.random() * 0.5),
+            simple_bounds=simple)
+        drift = 1e-3 * rng.standard_normal(prob.A.shape)
+        if simple:
+            drift[:dims[0], :] = 0.0  # structural one-hot rows
+        cases.append((f"warm_{trial:02d}", prob, drift))
+    return cases
+
+
 def eq_corpus():
     from lexls_tpu.oracle import generate as gen
 
@@ -129,6 +156,34 @@ def main():
                        "status": rec.get("status")}
         print(name, "status", rec.get("status"),
               "fact", rec.get("factorizations"))
+
+    for name, prob, drift in warm_corpus():
+        base_path = os.path.join(CASES, name + "_base.dat")
+        io_dat.save_dat(base_path, from_inequality(prob))
+        rec0 = run_case(exe, base_path, os.path.join(OUT, name + "_base.json"))
+        index[name + "_base"] = {"dat": os.path.relpath(base_path, OUT),
+                                 "status": rec0.get("status")}
+        # guess = the base solve's final per-row activation types (EQ is
+        # determined internally from lb==ub, so write INACTIVE for it)
+        guess = np.concatenate([np.asarray(g, np.int64)
+                                for g in rec0["active"]])
+        guess[guess == 3] = 0
+        x0 = np.asarray(rec0["x"], float)
+        warm = type(prob)(
+            A=prob.A + drift, lb=prob.lb.copy(), ub=prob.ub.copy(),
+            dims=tuple(prob.dims), n_var=prob.n_var,
+            simple_bounds=prob.simple_bounds,
+            var_idx=None if prob.var_idx is None else prob.var_idx.copy(),
+            regularization=prob.regularization.copy())
+        dat_path = os.path.join(CASES, name + ".dat")
+        io_dat.save_dat(dat_path, from_inequality(
+            warm, active_set_guess=guess, solution_guess=x0))
+        rec = run_case(exe, dat_path, os.path.join(OUT, name + ".json"))
+        index[name] = {"dat": os.path.relpath(dat_path, OUT),
+                       "status": rec.get("status"), "warm": True}
+        print(name, "status", rec.get("status"),
+              "fact", rec.get("factorizations"),
+              "(cold base:", rec0.get("factorizations"), ")")
 
     for name, (A, b, dims_t, n_var) in eq_corpus():
         dat_path = os.path.join(CASES, name + ".dat")

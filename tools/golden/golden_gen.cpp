@@ -108,6 +108,29 @@ int main(int argc, char **argv)
         }
     }
 
+    // warm-start inputs from a HierType-210 file: activation guess via
+    // api_activate (LB/UB only — EQ is determined internally, see
+    // lexlsi.h:120-136) and x0 via set_x0, mirroring the MEX binding
+    // (interfaces/matlab-octave/lexlsi.cpp:554-622).
+    if (!active_set_guess.empty())
+    {
+        for (LexLS::Index i = 0; i < nObj; ++i)
+        {
+            for (size_t j = 0; j < active_set_guess[i].size(); ++j)
+            {
+                LexLS::ConstraintActivationType t = active_set_guess[i][j];
+                if (t == LexLS::CTR_ACTIVE_LB || t == LexLS::CTR_ACTIVE_UB)
+                {
+                    lsi.api_activate(i, static_cast<LexLS::Index>(j), t);
+                }
+            }
+        }
+    }
+    if (solution_guess.size() == nVar)
+    {
+        lsi.set_x0(solution_guess);
+    }
+
     LexLS::TerminationStatus status = lsi.solve();
 
     std::printf("{\n\"kind\": \"inequality\",\n");
