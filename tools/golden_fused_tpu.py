@@ -68,7 +68,10 @@ def main():
         tol_feasibility=1e-5,
     )
 
-    names = [n for n in sorted(index) if n.startswith("ineq_")] + ["test_01"]
+    names = ([n for n in sorted(index) if n.startswith("ineq_")]
+             + [n for n in sorted(index)
+                if n.startswith("warm_") and not n.endswith("_base")]
+             + ["test_01"])
     passed = failed = 0
     for name in names:
         if name not in index:
@@ -78,7 +81,8 @@ def main():
             dat_path = os.path.join(GOLDEN, dat_path)
         with open(os.path.join(GOLDEN, name + ".json")) as f:
             gold = json.load(f)
-        prob = io_dat.to_inequality(io_dat.load_dat_python(dat_path))
+        d = io_dat.load_dat_python(dat_path)
+        prob = io_dat.to_inequality(d)
         if prob.simple_bounds and name == "test_01":
             pass  # supported: simple-bounds level 0 runs in-kernel
         struct = jli.Structure.of(prob)
@@ -86,6 +90,16 @@ def main():
             continue
         B = 1
         c0, s0, n0, x0, v0 = batched_initial_arrays(prob, B, dtype)
+        guess = d.active_guess_stacked()
+        warm = guess is not None and d.solution_guess is not None
+        if warm:
+            from lexls_tpu.lexlsi import initial_activation
+
+            ct0, st0, ns0 = initial_activation(prob, guess)
+            c0 = jnp.asarray(ct0)[None]
+            s0 = jnp.asarray(st0)[None]
+            n0 = jnp.asarray(ns0)[None]
+            x0 = jnp.asarray(d.solution_guess, dtype)[None]
         A = jnp.asarray(prob.A, dtype)[None]
         lb = jnp.asarray(prob.lb, dtype)[None]
         ub = jnp.asarray(prob.ub, dtype)[None]
@@ -95,12 +109,12 @@ def main():
 
             st, _ = trk.solve_core_cold_tracked(
                 A, lb, ub, c0, s0, n0, x0, v0, struct=struct,
-                params=params, x_guess_specified=False, v0_specified=False,
+                params=params, x_guess_specified=warm, v0_specified=False,
                 tile=1, interpret=interpret, vmem_limit_mb=100)
         else:
             st = jli.solve_core_fused(
                 A, lb, ub, c0, s0, n0, x0, v0, reg, struct=struct,
-                params=params, x_guess_specified=False, v0_specified=False,
+                params=params, x_guess_specified=warm, v0_specified=False,
                 tile=1, interpret=interpret, vmem_limit_mb=100)
         x = np.asarray(st.x[0], np.float64)
         status = int(st.status[0])
