@@ -206,7 +206,13 @@ def main():
     xs_ = np.array([T - 1 for T in Ts], dtype=float)
     ys_ = np.array([med[T] for T in Ts])
     slope = float(np.polyfit(xs_, ys_, 1)[0])
-    rate = B / max(slope, 1e-9)
+    slope_ok = slope > 1e-6
+    if slope_ok:
+        rate = B / slope
+    else:
+        # a non-positive slope is timing noise (seen on CPU at reps=1);
+        # report the conservative whole-run rate instead of a fake slope
+        rate = B * (max(Ts) - 1) / med[max(Ts)]
 
     _, solved, warm_it_sum, worst_warm, cold_it_sum = summaries[max(Ts)]
     total = B * max(Ts)
@@ -218,8 +224,10 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(rate / BASELINE_SOLVES_PER_S, 4),
     }
+    if not slope_ok:
+        record["slope_unreliable"] = True
     print(json.dumps(record))
-    if on_tpu:
+    if on_tpu and slope_ok:
         try:
             with open(LAST_GOOD_PATH, "w") as fh:
                 json.dump({**record, "captured_unix": time.time(),
@@ -331,29 +339,58 @@ def orchestrate():
         last_error = f"backend probe failed: {note}"
         time.sleep(min(20 * (attempt + 1), 90, max(remaining() - 200, 0)))
 
+    def run_worker(mode, timeout_s):
+        nonlocal last_error
+        env = dict(os.environ, LEXLS_BENCH_MODE=mode)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                timeout=timeout_s, stdout=subprocess.PIPE,
+                stderr=None, cwd=_REPO, env=env)
+        except subprocess.TimeoutExpired:
+            last_error = f"bench worker ({mode}) timed out"
+            return None
+        out = (r.stdout or b"").decode()
+        rec = _parse_record(out)
+        if r.returncode == 0 and rec is not None:
+            return rec | {"mode": mode}
+        tail = out.strip().splitlines()[-3:]
+        last_error = f"worker ({mode}) rc={r.returncode} {tail}"
+        return None
+
     if probe_ok:
-        for attempt in range(3):
+        # Mode plan: an explicit LEXLS_BENCH_MODE is respected verbatim;
+        # otherwise measure the tracked tier first (round-3 headline,
+        # bounded so a pathological compile cannot eat the budget), then
+        # the fused kernel, and report the best captured record.
+        if "LEXLS_BENCH_MODE" in os.environ:
+            plan = [os.environ["LEXLS_BENCH_MODE"]] * 3
+        else:
+            plan = ["tracked", "fused", "fused"]
+        best = None
+        for attempt, mode in enumerate(plan):
             if remaining() < 120:
                 last_error = f"budget exhausted ({budget:.0f}s)"
                 break
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--worker"],
-                    timeout=remaining() - 30, stdout=subprocess.PIPE,
-                    stderr=None, cwd=_REPO)
-            except subprocess.TimeoutExpired:
-                last_error = "bench worker timed out"
-                continue
-            out = (r.stdout or b"").decode()
-            rec = _parse_record(out)
-            if r.returncode == 0 and rec is not None:
-                print(json.dumps(rec), flush=True)
-                return 0
-            tail = out.strip().splitlines()[-3:]
-            last_error = f"worker rc={r.returncode} {tail}"
-            print(f"# worker[{attempt}] failed: {last_error}",
-                  file=sys.stderr, flush=True)
-            time.sleep(min(30, max(remaining() - 120, 0)))
+            cap = remaining() - 30
+            if mode == "tracked" and len(set(plan)) > 1:
+                # leave room for at least one fused attempt
+                cap = min(cap, max(budget * 0.55, cap - 600))
+            rec = run_worker(mode, cap)
+            if rec is not None:
+                def score(r):
+                    return (not r.get("slope_unreliable"), r["value"])
+                if best is None or score(rec) > score(best):
+                    best = rec
+                if mode != "tracked" or "LEXLS_BENCH_MODE" in os.environ:
+                    break  # second fused attempt is retry-only
+            else:
+                print(f"# worker[{attempt}] failed: {last_error}",
+                      file=sys.stderr, flush=True)
+                time.sleep(min(30, max(remaining() - 120, 0)))
+        if best is not None:
+            print(json.dumps(best), flush=True)
+            return 0
     else:
         last_error = f"TPU backend unavailable after probes: {last_error}"
 
