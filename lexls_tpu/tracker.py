@@ -262,6 +262,17 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         Gt = jnp.where(live2, G, eye)
         Z, cert = _orthonormalize_z(Gt, live2.astype(dtype), ns_iters)
         ok = ok & (cert < cert_tol)
+        # certified λ-noise floor of this level's carried frame: the
+        # own-level residual Q c − b̃ carries ~cert·‖b̃‖ of frame error
+        # (cert bottoms out at eps·κ(G) — the evaluation error of ZᵀGZ
+        # itself) plus plain roundoff.  λ entries below it are noise on
+        # structurally-zero residuals (e.g. a full-rank level) and would
+        # otherwise falsely mark rows CORRECT_SIGN in the removal sweep
+        # (tol_correct_sign_lambda is calibrated to the exact tiers'
+        # noise, ``typedefs.h:118-124``).
+        eps_d = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        bmax = jnp.max(jnp.abs(lvl[:, :, n]), axis=1)          # (B,)
+        lam_floor = (8.0 * cert + 64.0 * eps_d) * bmax         # (B,)
         Q = jnp.matmul(M, Z, precision=hp)                     # (B, dim, K)
         rinv_new = jnp.matmul(rinv_k, Z, precision=hp)
         W = jnp.einsum("bdk,bdc->bkc", Q, lvl, precision=hp)   # (B, K, n+1)
@@ -410,7 +421,7 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
             below = below - jnp.matmul(Lp, W, precision=hp)
             block = jnp.concatenate([block[:, : fr + dim], below], axis=1)
 
-        stash.append((hot, Q, W, rinv_new, Lp, c_orig, b_lvl))
+        stash.append((hot, Q, W, rinv_new, Lp, c_orig, b_lvl, lam_floor))
         rinv_out.append(rinv_new)
         ranks_out.append(rank_k)
         fc_k = fc_k + rank_k
@@ -471,9 +482,16 @@ def _hot_lambda(stash, struct: Structure, dims_offsets, B, dtype):
         if stash[k] is None:
             lam_parts[k] = jnp.zeros((B, p, dim), dtype)
             continue
-        hot, Q, W, rinv_new, Lp, c_orig, b_lvl = stash[k]
+        hot, Q, W, rinv_new, Lp, c_orig, b_lvl, lam_floor = stash[k]
         seg_gt = jnp.einsum("bpk,bdk->bpd", zc[k], Q, precision=hp)
         seg_kk = jnp.einsum("bdk,bk->bd", Q, c_orig, precision=hp) - b_lvl
+        # certified noise floor of the carried frame (see
+        # ``_factorize_carried``): entries below it are residual noise of
+        # an (numerically) exactly-solved level, structurally zero in the
+        # exact tiers' Householder replay — keeping them would falsely
+        # mark rows CORRECT_SIGN against tol_correct_sign_lambda
+        seg_kk = jnp.where(jnp.abs(seg_kk) <= lam_floor[:, None],
+                           0.0, seg_kk)
         seg = jnp.where(jvec == k, seg_kk[:, None, :], seg_gt)
         seg = jnp.where(jvec >= k, seg, 0.0)
         lam_parts[k] = seg

@@ -137,6 +137,17 @@ def test_tracked_kicks_and_fallback(trial):
     _drive(trial, kicks=(0.05, 0.3, 0.05))
 
 
+def test_tracked_lambda_noise_floor_regression():
+    """Regression (round-3 fuzz trial 24): a full-rank level's carried
+    frame leaves ~cert·‖b‖ of noise on its structurally-zero residual;
+    above tol_correct_sign_lambda (1e-12) that falsely marked rows
+    CORRECT_SIGN in the removal sweep, shielding a later objective's
+    genuinely wrong-sign rows — the tracker declared "solved" at a
+    suboptimal endpoint (last-level norm off by 164).  The certified
+    λ-noise floor in _hot_lambda fixes it."""
+    _drive(24, kicks=(0.003, 0.02, 0.004))
+
+
 def test_tracked_exact_trajectory_small_drift():
     """On accepted carries the working-set trajectory itself matches the
     from-scratch solver (same pivot sets => same x => same ratio tests)."""
