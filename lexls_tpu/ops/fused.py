@@ -404,7 +404,9 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         # iteration), so what survives here is the final factorization —
         # the carried state of the cross-solve warm tracker
         # (lexls_tpu/tracker.py).
-        a1 = alive[:, 0, None, None]
+        a1 = alive[:, :, None]  # (TB,1,1); int-index+None forms lower to
+        # a gather that Mosaic rejects inside while loops — broadcast
+        # via None on the full slice instead.
         for k in range(p):
             if per_level[k] is None:
                 continue
