@@ -177,6 +177,7 @@ def _check_blocking_tile(ctr_type, Ax, Adx, v, dv, lb, ub, tol_feasibility,
 
 def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                   Ax_in, nf_in, it0_in, prio_in, elig_in, vmap_in,
+                  vplace_in, gplace_in,
                   x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
                   it_o, na_o, nd_o, nf_o, status_o, rpad_o, posf_o, ranks_o,
                   lod_ref, hh_ref, pos_ref, cn_ref,
@@ -252,7 +253,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
             if d0:
                 fixed_mask = jnp.zeros((TB, n), dtype)
                 fixed_val = jnp.zeros((TB, n), dtype)
-                Agm = A_in[:, d0:, :]
+                Agm = A_in[:, pl.ds(d0, mg), :]
         elif d0:
             vm = vmap_in[:]  # (d0, n) one-hot row->variable map
             act0 = actf[:, :d0]
@@ -260,9 +261,14 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                                  axis=1)  # (TB, n) in {0,1}
             fixed_val = jnp.sum((act0 * rhs_row[:, :d0])[:, :, None]
                                 * vm[None, :, :], axis=1)
-            Agm = A_in[:, d0:, :] * actf[:, d0:, None]
+            # nonzero-start basic slices on a Ref lower to a gather
+            # Mosaic rejects — use pl.ds for the ref, lax.slice for values
+            Af = A_in[:, pl.ds(d0, mg), :]
+            actg = lax.slice_in_dim(actf, d0, m, axis=1)
+            rhsg = lax.slice_in_dim(rhs_row, d0, m, axis=1)
+            Agm = Af * actg[:, :, None]
             lod_ref[:, :, :n] = Agm * (1.0 - fixed_mask[:, None, :])
-            lod_ref[:, :, n] = rhs_row[:, d0:] * actf[:, d0:] - jnp.sum(
+            lod_ref[:, :, n] = rhsg * actg - jnp.sum(
                 Agm * fixed_val[:, None, :], axis=2)
         else:
             fixed_mask = fixed_val = Agm = None
@@ -541,9 +547,12 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 # to the bounds rows through the variable map
                 lam_fixed = -jnp.sum(Agm * lam_j[:, :, None], axis=1)
                 lam_fixed = lam_fixed * fixed_mask  # (TB, n)
-                vals0 = jnp.sum(vm[None, :, :] * lam_fixed[:, None, :],
-                                axis=2)  # (TB, d0)
-                vals = jnp.concatenate([vals0, lam_j], axis=1)
+                # place both segments into row order by one-hot matmuls
+                # (vplace (n, m) maps variable v to its bounds row; gplace
+                # (mg, m) shifts general rows by d0) — Mosaic-safe where a
+                # narrow lane concatenate miscompiles
+                vals = (jnp.dot(lam_fixed, vplace_in[:], precision=_HIGH)
+                        + jnp.dot(lam_j, gplace_in[:], precision=_HIGH))
             else:
                 vals = lam_j
             eligible = (elig_in[j, :] != 0)[None, :]
@@ -688,6 +697,17 @@ def fused_active_set(
     for r, c in enumerate(var_idx):
         vmap_np[r, c] = 1.0
     vmap_arr = jnp.asarray(vmap_np, dtype)
+    # row-placement matrices for the removal sweep's vals assembly:
+    # vplace maps variable v to its simple-bounds row (columns < d0),
+    # gplace shifts general row i to constraint row d0 + i
+    vplace_np = np.zeros((n, m), np.float32)
+    for r, c in enumerate(var_idx):
+        vplace_np[c, r] = 1.0
+    gplace_np = np.zeros((m - d0, m), np.float32)
+    for i in range(m - d0):
+        gplace_np[i, d0 + i] = 1.0
+    vplace_arr = jnp.asarray(vplace_np, dtype)
+    gplace_arr = jnp.asarray(gplace_np, dtype)
     ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
            tol_wrong, tol_correct, max_fact, deact_first, iter_cap,
            tuple(ablate), panel_unroll)
@@ -734,6 +754,9 @@ def fused_active_set(
         pl.BlockSpec((p, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((max(d0, 1), n), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m - d0, m), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     mg = m - d0
     scratch = [
@@ -764,4 +787,5 @@ def fused_active_set(
         interpret=interpret,
         **kwargs,
     )(A, lb, ub, ctr_type, stamp, next_stamp[:, None], x, v, Ax,
-      n_fact[:, None], it0[:, None], prio_arr, elig_arr, vmap_arr)
+      n_fact[:, None], it0[:, None], prio_arr, elig_arr, vmap_arr,
+      vplace_arr, gplace_arr)

@@ -99,6 +99,38 @@ def main():
           "max|dnorm|:", dvw)
     assert (np.asarray(stw.status) == np.asarray(ref2.status)).all()
     assert dvw < 5e-4, dvw
+
+    # --- simple-bounds (d0 > 0) kernel path: offset ref slices use
+    # pl.ds (a nonzero-start basic slice on a Ref lowers to a gather
+    # Mosaic rejects; caught on the first on-TPU golden run)
+    probs = lt.build_hierarchy_with_bounds(
+        np.arange(4), np.full(4, -0.4), np.full(4, 0.4),
+        [(prob_A[0, :dims[0]], lb[0, :dims[0]], ub[0, :dims[0]]),
+         (prob_A[0, dims[0]:], lb[0, dims[0]:], ub[0, dims[0]:])],
+        n_var=n)
+    structs = jli.Structure.of(probs)
+    ms = probs.n_ctr
+    As = jnp.broadcast_to(
+        jnp.asarray(probs.A, dtype), (B, ms, n)) + 1e-3 * jnp.asarray(
+        rng.standard_normal((B, ms, n)), dtype)
+    lbs = jnp.broadcast_to(jnp.asarray(probs.lb, dtype), (B, ms))
+    ubs = jnp.broadcast_to(jnp.asarray(probs.ub, dtype), (B, ms))
+    cts = jnp.zeros((B, ms), jnp.int32)
+    sts = jnp.zeros((B, ms), jnp.int32)
+    regs = jnp.zeros((len(probs.dims),), dtype)
+    with jax.default_matmul_precision("float32"):
+        refs = solve_batched(
+            As, lbs, ubs, cts, sts, ns0, x0, jnp.zeros((B, ms), dtype),
+            regs, struct=structs, params=params, x_guess_specified=False)
+    fus = jli.solve_core_fused(
+        As, lbs, ubs, cts, sts, ns0, x0, jnp.zeros((B, ms), dtype), regs,
+        struct=structs, params=params, x_guess_specified=False,
+        v0_specified=False, tile=8, interpret=not on_tpu)
+    assert (np.asarray(fus.status) == np.asarray(refs.status)).all()
+    dvs = float(np.max(np.abs(np.asarray(fus.v) - np.asarray(refs.v))))
+    print("simple-bounds fused statuses:", np.asarray(fus.status)[:4],
+          "max|dv|:", dvs)
+    assert dvs < 5e-3, dvs
     print("SMOKE OK")
 
 
