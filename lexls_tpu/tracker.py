@@ -133,37 +133,63 @@ def carried_from_lexqr(f, struct: Structure) -> Carried:
     return bootstrap_carried((rpad, pos, f.ranks))
 
 
-def _orthonormalize_z(G: jax.Array, live2, passes: int):
-    """Z with (MZ)ᵀ(MZ) = I given G = MᵀM, by CholeskyQR passes, with an
-    orthogonality certificate.
+def _orthonormalize_z(G: jax.Array, live2, passes: int, u=None, s1=None):
+    """Z (upper triangular) with (MZ)ᵀ(MZ) = I given G = MᵀM — Cholesky
+    free, with an orthogonality certificate.
 
-    Any right factor Z that orthonormalizes M works (the tracker never
-    needs Z symmetric): per pass, Z ← Z · chol(ZᵀGZ)⁻ᵀ, where the
-    triangular inverse is Newton–Schulz doubling
-    (:func:`lexls_tpu.ops.tri.tri_inv_upper` — EXACT in ceil(log2 K)
-    matmul rounds, conditioning-independent).  Unlike a Newton–Schulz
-    inverse square root, this converges in a fixed small number of
-    passes for ANY κ(M)² within the dtype — an activated constraint row
-    can push ‖G − I‖ to ~‖a‖² (thousands at the benchmark scale), where
-    an invsqrt iteration would need dozens of rounds.  One pass loses
-    ~log10(κ²) digits; the second pass restores orthonormality to
-    roundoff for κ(M) ≲ 1/√ε.  A rank-deficient G (genuine rank loss)
-    makes the Cholesky produce NaNs, which fail the certificate — the
-    instance falls back to the exact tier instead of silently
-    continuing.
+    The round-3 CholeskyQR formulation was correct but slow on TPU:
+    ``jnp.linalg.cholesky`` of the batched (B, K, K) Grams lowers to a
+    serial column loop (~5 ms per pass at B·p = 1536, K = 30 — measured
+    80% of the tracker body, ``tools/trk_profile.py``).  This version is
+    nothing but elementwise ops, a cumsum, and batched matmuls:
 
-    Returns ``(Z, cert)`` with cert = max|ZᵀGZ − I| (B,)."""
+    * **analytic rank-1 pre-step** — between active-set iterations the
+      Gram of the changed level is G = I ± uuᵀ + O(drift) with u the
+      activated/removed row in the carried frame.  The Cholesky factor
+      of I ± uuᵀ and its inverse have closed forms: with
+      t_j = 1 ± Σ_{i≤j} u_i² (prefix sums) and t₀ the shifted prefix,
+      chol = diag(√(t/t₀)) + tril(u wᵀ, −1), w = ±u/√(t·t₀), and
+      Z₁ = cholᵀ⁻¹ = diag(√(t₀/t)) − (±1)·triu(u wᵀ, 1).  A downdate
+      that destroys rank drives some t_j ≤ 0, the sqrt produces NaN,
+      and the certificate fails — the exact-tier fallback takes over.
+    * **first-order triangular passes** — for the remaining E = Gz − I
+      (drift-sized), chol(I+E) ≈ I + tril(E,−1) + diag(E)/2, so
+      Zᵢ = I − (triu(E,1) + diag(E)/2) contracts ‖E‖ quadratically per
+      pass while staying upper triangular.  Two passes take 1e-3 drift
+      to ~1e-9; an E too large to contract (an unannounced structural
+      change, e.g. a simple-bounds flip) blows the certificate up and
+      falls back, exactly like rank loss.
+
+    Z triangular throughout keeps diag(R) = 1/diag(Z_total) the prefix
+    pivot norms for the acceptance test.  Returns ``(Z, cert)`` with
+    cert = max|ZᵀGZ − I| (B,)."""
     K = G.shape[-1]
     eye = jnp.eye(K, dtype=G.dtype)
-    Z = jnp.broadcast_to(eye, G.shape)
-    Gz = G
+    Gz = jnp.where(live2 > 0, G, eye)
+    if u is not None:
+        hp = lax.Precision.HIGHEST
+        uu = u * u
+        t = 1.0 + s1 * jnp.cumsum(uu, axis=-1)                 # (B, K)
+        t0 = jnp.concatenate(
+            [jnp.ones_like(t[..., :1]), t[..., :-1]], axis=-1)
+        dinv = jnp.sqrt(t0 / t)     # NaN on t <= 0 (rank loss) — wanted
+        w = u / jnp.sqrt(jnp.abs(t * t0) + jnp.finfo(G.dtype).tiny) \
+            * jnp.sign(t * t0)
+        Z = (eye * dinv[..., None, :]
+             - s1[..., None] * jnp.triu(u[..., :, None] * w[..., None, :],
+                                        k=1))
+        Z = Z * live2 + eye * (1.0 - live2)
+        Gz = jnp.swapaxes(Z, -1, -2) @ Gz @ Z
+        Gz = jnp.where(live2 > 0, Gz, eye)
+    else:
+        Z = jnp.broadcast_to(eye, G.shape)
     cert = None
     for _ in range(max(1, passes)):
-        L = jnp.linalg.cholesky(Gz)
-        Zi = tri_inv_upper(jnp.swapaxes(L, -1, -2))
+        E = Gz - eye
+        Zi = eye - (jnp.triu(E, k=1) + 0.5 * E * eye)
         Z = (Z @ Zi) * live2
-        Gz = jnp.swapaxes(Z, -1, -2) @ G @ Z
-        Gz = jnp.where(live2, Gz, eye)
+        Gz = jnp.swapaxes(Zi, -1, -2) @ Gz @ Zi
+        Gz = jnp.where(live2 > 0, Gz, eye)
         cert = jnp.max(jnp.abs(Gz - eye), axis=(-2, -1))
     return Z, cert
 
@@ -188,7 +214,7 @@ def _chol_solve_masked(D, d, act):
 def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
                        params: ParametersLexLSI, *, ns_iters: int,
                        cert_tol: float, ext_steps: int,
-                       reg_factors=None):
+                       reg_factors=None, chg=None):
     """Re-factorize the masked staircase with the carried pivot order,
     absorbing rank GROWTH by greedy pivot extension.
 
@@ -208,7 +234,17 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
 
     Returns ``(ok, stash, fcs, pos, ranks, rinv_out)`` — stash holds per
     level ``(hot, Q, W, rinv_new, Lp)``; pos/ranks/rinv_out reflect the
-    extensions."""
+    extensions.
+
+    ``chg`` (optional) = ``(a_row, lv, sgn)``: the single constraint row
+    whose activation state changed since the carried factorization —
+    its (fixed-eliminated) coefficients (B, n), its level (B, 1) int32
+    (−1 none), and the Gram sign (B, 1) float (+1 activated, −1
+    removed).  The changed level's re-orthonormalization then absorbs
+    the rank-1 Gram spike analytically (:func:`_orthonormalize_z`);
+    without it the first-order passes only contract drift-sized
+    perturbations and a working-set change would fall back to the exact
+    tier every iteration."""
     dims = struct.lexlse_dims
     p = len(dims)
     n = struct.n_var
@@ -260,7 +296,17 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         M = jnp.matmul(P0, rinv_k, precision=hp)               # (B, dim, K)
         G = jnp.einsum("bdi,bdj->bij", M, M, precision=hp)
         Gt = jnp.where(live2, G, eye)
-        Z, cert = _orthonormalize_z(Gt, live2.astype(dtype), ns_iters)
+        if chg is not None:
+            a_row, lv, sgn = chg
+            is_lvl = (lv == k).astype(dtype)                   # (B, 1)
+            aP = jnp.einsum("bn,bkn->bk", a_row, hot, precision=hp)
+            u_k = jnp.einsum("bk,bkj->bj", aP, rinv_k,
+                             precision=hp) * is_lvl            # (B, K)
+            s1_k = sgn * is_lvl
+        else:
+            u_k = s1_k = None
+        Z, cert = _orthonormalize_z(Gt, live2.astype(dtype), ns_iters,
+                                    u=u_k, s1=s1_k)
         ok = ok & (cert < cert_tol)
         # certified λ-noise floor of this level's carried frame: the
         # own-level residual Q c − b̃ carries ~cert·‖b̃‖ of frame error
@@ -677,12 +723,24 @@ def _xla_tail(A, s, reg, struct: Structure, params: ParametersLexLSI):
 
 def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                   interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
-                  compact_rounds, ns_iters, cert_tol, ext_steps, reg=None):
+                  compact_rounds, ns_iters, cert_tol, ext_steps, reg=None,
+                  chg0=None, loop_cap: int = 0):
     """The tracker while-loop + kernel handover, from an already-built
     batched state (phase 1 done, or a mid-solve state from a capped
-    kernel phase — the cold-start driver)."""
+    kernel phase — the cold-start driver).
+
+    ``chg0`` = optional ``(chg_hot (B, m) float, chg_sign (B, 1) float)``
+    identifying the one constraint row whose activation state differs
+    between the carried factorization and ``s0``'s working set (the
+    cold-start kernel handover); zeros mean "carry matches exactly".
+    ``loop_cap`` > 0 bounds the tracker loop to that many trips — the
+    remaining alive instances fall into the fused kernel, whose per-TILE
+    early exit prices stragglers far better than this full-batch loop
+    (the handover argsort already clusters them into the leading
+    tiles)."""
     B, m, n = A.shape
     p = len(struct.lexlse_dims)
+    d0 = struct.d0
     dtype = A.dtype
     max_fact = params.max_number_of_factorizations
     offsets = []
@@ -692,6 +750,11 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
         ofs += d
     iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
     unknown = int(TerminationStatus.UNKNOWN)
+    # static level-of-row map over the general (post-bounds) rows
+    lvl_map_np = np.zeros((max(m - d0, 1),), np.int32)
+    for k, (fr, dim) in enumerate(zip(offsets, struct.lexlse_dims)):
+        lvl_map_np[fr:fr + dim] = k
+    lvl_map = jnp.asarray(lvl_map_np, jnp.float32)
 
     with jax.default_matmul_precision("float32"):
 
@@ -700,11 +763,14 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                     & ((s.it == 0) | (s.n_fact < max_fact)))
 
         def cond(carry):
-            s, _, _, _, fall = carry
-            return jnp.any(alive_of(s, fall))
+            s, _, _, _, fall, _, _, trip = carry
+            any_alive = jnp.any(alive_of(s, fall))
+            if loop_cap:
+                return any_alive & (trip < loop_cap)
+            return any_alive
 
         def body(carry):
-            s, rinv_c, pos_c, ranks_c, fall = carry
+            s, rinv_c, pos_c, ranks_c, fall, chg_hot, chg_sign, trip = carry
             alive = alive_of(s, fall)
 
             Ag, bg, fixed_mask, fixed_val = jax.vmap(
@@ -716,10 +782,26 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             Agz = jnp.where(fixed_mask[:, None, :], 0.0, Ag)
             bgz = bg - jnp.einsum("bmn,bn->bm", Ag, fixed_val,
                                   precision=lax.Precision.HIGHEST)
+            # the changed row's raw coefficients (for a removal the row
+            # is zero in Agz — read it from A with fixed columns zeroed),
+            # its level, and its Gram sign; simple-bounds changes
+            # (rows < d0) get lv = −1 / sgn = 0: no analytic absorption,
+            # the certificate decides
+            hot_g = lax.slice_in_dim(chg_hot, d0, m, axis=1)   # (B, mg)
+            has_g = jnp.sum(hot_g, axis=1, keepdims=True)      # (B, 1)
+            a_row = jnp.einsum(
+                "bm,bmn->bn", hot_g,
+                jnp.where(fixed_mask[:, None, :], 0.0,
+                          A[:, d0:, :]), precision=lax.Precision.HIGHEST)
+            lv = jnp.where(
+                has_g > 0,
+                jnp.round(jnp.einsum("bm,m->b", hot_g, lvl_map)
+                          )[:, None].astype(jnp.int32), -1)
+            sgn = chg_sign * has_g
             ok, stash, fcs, pos_n, ranks_n, rinv_n = _factorize_carried(
                 Agz, bgz, rinv_c, pos_c, ranks_c, struct, params,
                 ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps,
-                reg_factors=reg)
+                reg_factors=reg, chg=(a_row, lv, sgn))
 
             x_star = _hot_solve(stash, fcs, pos_n, fixed_mask, fixed_val,
                                 struct)
@@ -786,12 +868,31 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             pos_c = jnp.where(commit[:, None], pos_n, pos_c)
             ranks_c = jnp.where(commit[:, None], ranks_n, ranks_c)
             fall = fall | (alive & jnp.logical_not(ok))
-            return (s_new, rinv_c, pos_c, ranks_c, fall)
+            # the working-set delta this iteration applied — next trip's
+            # factorization absorbs it analytically
+            chg_hot_n = ((blk2 & brow_hot) | (rm2 & rrow_hot)).astype(
+                jnp.float32)
+            chg_sign_n = (blk2.astype(jnp.float32)
+                          - rm2.astype(jnp.float32))
+            chg_hot = jnp.where(cm2, chg_hot_n, jnp.zeros_like(chg_hot))
+            chg_sign = jnp.where(cm2, chg_sign_n,
+                                 jnp.zeros_like(chg_sign))
+            return (s_new, rinv_c, pos_c, ranks_c, fall, chg_hot,
+                    chg_sign, trip + 1)
 
         fall0 = jnp.zeros((B,), bool)
-        s, rinv_c, pos_c, ranks_c, fall = lax.while_loop(
+        if chg0 is None:
+            chg_hot0 = jnp.zeros((B, m), jnp.float32)
+            chg_sign0 = jnp.zeros((B, 1), jnp.float32)
+        else:
+            chg_hot0, chg_sign0 = chg0
+        s, rinv_c, pos_c, ranks_c, fall, _, _, _ = lax.while_loop(
             cond, body,
-            (s0, carried.rinv, carried.pos, carried.ranks, fall0))
+            (s0, carried.rinv, carried.pos, carried.ranks, fall0,
+             chg_hot0, chg_sign0, jnp.zeros((), jnp.int32)))
+        if loop_cap:
+            # capped out while still alive: finish in the fused kernel
+            fall = fall | alive_of(s, fall)
 
         # --- fallback handover: fallen instances continue from their
         # current state.  Without regularization the fused Pallas kernel
