@@ -253,14 +253,24 @@ def main():
           f"hbm_min={mfu['hbm_fraction']*100:.2f}%", file=sys.stderr)
 
     # secondary BASELINE configs (1: equality l-QR, 2: inequality cold,
-    # 3: deep regularized) — JSON lines to stderr so the driver-captured
-    # stdout stays a single headline record
+    # 3: deep regularized) — "# secondary:"-prefixed so a driver that
+    # parses the LAST JSON line of merged output can never mistake one
+    # for the headline (round-3 failure mode, VERDICT r3 weak 2)
     if os.environ.get("LEXLS_BENCH_SECONDARY", "1") != "0":
-        import contextlib
-
         import bench_extra
 
-        with contextlib.redirect_stdout(sys.stderr):
+        class _Prefixed:
+            def write(self, s):
+                for ln in s.splitlines(True):
+                    sys.stderr.write(
+                        "# secondary: " + ln if ln.strip() else ln)
+
+            def flush(self):
+                sys.stderr.flush()
+
+        import contextlib
+
+        with contextlib.redirect_stdout(_Prefixed()):
             bench_extra.run_all()
 
 
@@ -341,7 +351,10 @@ def orchestrate():
 
     def run_worker(mode, timeout_s):
         nonlocal last_error
-        env = dict(os.environ, LEXLS_BENCH_MODE=mode)
+        # secondaries are orchestrated separately (budget-capped, after
+        # the headline is already on stdout) — never inside the worker
+        env = dict(os.environ, LEXLS_BENCH_MODE=mode,
+                   LEXLS_BENCH_SECONDARY="0")
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
@@ -358,37 +371,69 @@ def orchestrate():
         last_error = f"worker ({mode}) rc={r.returncode} {tail}"
         return None
 
+    def run_secondaries(timeout_s):
+        """BASELINE configs 1-3 in a subprocess; every output line is
+        '#'-prefixed onto stderr so the driver's last-JSON-line parse
+        can only ever see headline records."""
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(_REPO, "bench_extra.py")],
+                timeout=timeout_s, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, cwd=_REPO)
+            for ln in (r.stdout or b"").decode().splitlines():
+                if ln.strip():
+                    print(f"# secondary: {ln}", file=sys.stderr, flush=True)
+            if r.returncode != 0:
+                print(f"# secondary rc={r.returncode}", file=sys.stderr,
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            print("# secondary: skipped (timed out under budget)",
+                  file=sys.stderr, flush=True)
+
+    best = None
+
+    def score(r):
+        return (not r.get("slope_unreliable"), r["value"])
+
+    def emit(rec):
+        """Print the headline the moment it exists (and again whenever a
+        better one lands): the driver parses the LAST JSON line, so a
+        later kill can no longer lose the record (round-3 rc=124)."""
+        nonlocal best
+        if best is None or score(rec) > score(best):
+            best = rec
+            print(json.dumps(best), flush=True)
+
     if probe_ok:
-        # Mode plan: an explicit LEXLS_BENCH_MODE is respected verbatim;
-        # otherwise measure the tracked tier first (round-3 headline,
-        # bounded so a pathological compile cannot eat the budget), then
-        # the fused kernel, and report the best captured record.
-        if "LEXLS_BENCH_MODE" in os.environ:
-            plan = [os.environ["LEXLS_BENCH_MODE"]] * 3
-        else:
-            plan = ["tracked", "fused", "fused"]
-        best = None
+        # Mode plan: an explicit LEXLS_BENCH_MODE is respected verbatim
+        # (with one retry); otherwise measure the tracked tier (the
+        # headline path) and fall back to the fused kernel ONLY if
+        # tracked failed or its slope was unreliable — a redundant fused
+        # re-measure is what blew the round-3 budget.
+        explicit = os.environ.get("LEXLS_BENCH_MODE")
+        plan = [explicit] * 2 if explicit else ["tracked", "tracked",
+                                                "fused"]
         for attempt, mode in enumerate(plan):
-            if remaining() < 120:
+            if best is not None and not best.get("slope_unreliable"):
+                break
+            if remaining() < 180:
                 last_error = f"budget exhausted ({budget:.0f}s)"
                 break
-            cap = remaining() - 30
-            if mode == "tracked" and len(set(plan)) > 1:
-                # leave room for at least one fused attempt
-                cap = min(cap, max(budget * 0.55, cap - 600))
-            rec = run_worker(mode, cap)
+            rec = run_worker(mode, remaining() - 60)
             if rec is not None:
-                def score(r):
-                    return (not r.get("slope_unreliable"), r["value"])
-                if best is None or score(rec) > score(best):
-                    best = rec
-                if mode != "tracked" or "LEXLS_BENCH_MODE" in os.environ:
-                    break  # second fused attempt is retry-only
+                emit(rec)
             else:
-                print(f"# worker[{attempt}] failed: {last_error}",
+                print(f"# worker[{attempt}] {mode} failed: {last_error}",
                       file=sys.stderr, flush=True)
-                time.sleep(min(30, max(remaining() - 120, 0)))
+                time.sleep(min(30, max(remaining() - 180, 0)))
+        if best is not None and remaining() > 300 and \
+                os.environ.get("LEXLS_BENCH_SECONDARY", "1") != "0":
+            run_secondaries(remaining() - 60)
+        elif best is not None:
+            print("# secondary: skipped (budget low or disabled)",
+                  file=sys.stderr, flush=True)
         if best is not None:
+            # re-assert the headline as the final stdout line
             print(json.dumps(best), flush=True)
             return 0
     else:

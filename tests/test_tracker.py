@@ -95,32 +95,129 @@ def _drive(trial, kicks, B=8):
         x_prev, ct_prev = stt.x, stt.ctr_type
 
 
-def test_orthonormalize_z_conditioning_and_rank_loss():
-    """CholeskyQR re-orthonormalization: two passes restore (MZ)T(MZ)=I
-    to roundoff for kappa(M) up to ~1/sqrt(eps) of the dtype (the regime
-    an activated constraint row creates), and a genuinely rank-deficient
-    G fails the certificate (NaN) instead of silently continuing."""
+def test_orthonormalize_z_drift_contract():
+    """First-order triangular passes (round-3 contract): a DRIFT-SIZED
+    E = G - I contracts quadratically per pass (1e-3 -> ~1e-9 in two),
+    Z stays upper triangular (diag(R) bookkeeping), and (MZ)T(MZ) = I
+    to the certificate's own bound."""
     K, B = 12, 6
     rng = np.random.default_rng(7)
     eye = np.eye(K)
-    for kappa in (1.0, 1e2, 1e4, 1e6):
+    live2 = jnp.ones((B, K, K))
+    for scale, bound in ((1e-4, 1e-10), (1e-3, 1e-7), (5e-3, 1e-5)):
+        M = eye + scale * rng.standard_normal((B, K, K))
+        G = jnp.asarray(np.swapaxes(M, 1, 2) @ M)
+        Z, cert = tracker._orthonormalize_z(G, live2, passes=2)
+        assert float(jnp.max(cert)) < bound, scale
+        Zn = np.asarray(Z)
+        np.testing.assert_allclose(Zn, np.triu(Zn), atol=0)
+        MZ = M @ Zn
+        err = np.max(np.abs(np.swapaxes(MZ, 1, 2) @ MZ - eye))
+        assert err < 10 * bound + 1e-9, (scale, err)
+
+
+@pytest.mark.parametrize("mag", (0.3, 1.0, 5.0, 20.0))
+def test_orthonormalize_z_activation_spike(mag):
+    """Analytic rank-1 pre-step, ACTIVATION (s=+1): G = I + uuT + drift
+    is absorbed in closed form (tracker.py prefix-sum Cholesky of
+    I + uuT) for spike magnitudes far beyond what the first-order
+    passes alone could contract."""
+    K, B = 12, 6
+    rng = np.random.default_rng(11)
+    eye = np.eye(K)
+    u = mag * rng.standard_normal((B, K)) / np.sqrt(K)
+    D = 1e-4 * rng.standard_normal((B, K, K))
+    G = eye + u[:, :, None] * u[:, None, :] + D + np.swapaxes(D, 1, 2)
+    Z, cert = tracker._orthonormalize_z(
+        jnp.asarray(G), jnp.ones((B, K, K)), passes=2,
+        u=jnp.asarray(u), s1=jnp.ones((B, 1)))
+    assert float(jnp.max(cert)) < 1e-7, mag
+    Zn = np.asarray(Z)
+    np.testing.assert_allclose(Zn, np.triu(Zn), atol=0)
+    err = np.max(np.abs(np.swapaxes(Zn, 1, 2) @ G @ Zn - eye))
+    assert err < 1e-6, (mag, err)
+    # without the pre-step the same spike must blow the certificate
+    # (first-order passes only contract drift-sized E)
+    if mag >= 1.0:
+        _, cert0 = tracker._orthonormalize_z(
+            jnp.asarray(G), jnp.ones((B, K, K)), passes=2)
+        assert not bool(jnp.any(cert0 < 1e-3)), mag
+
+
+@pytest.mark.parametrize("mag", (0.3, 0.7, 0.95))
+def test_orthonormalize_z_removal_downdate(mag):
+    """Closed-form Cholesky DOWNDATE (removal, s=-1): G = I - uuT +
+    drift with ||u|| < 1 keeps every prefix pivot t_j positive and is
+    absorbed analytically; conditioning grows like 1/(1-||u||^2) and
+    the passes still certify."""
+    K, B = 12, 6
+    rng = np.random.default_rng(13)
+    eye = np.eye(K)
+    u = rng.standard_normal((B, K))
+    u = mag * u / np.linalg.norm(u, axis=1, keepdims=True)
+    D = 1e-6 * rng.standard_normal((B, K, K))
+    G = eye - u[:, :, None] * u[:, None, :] + D + np.swapaxes(D, 1, 2)
+    Z, cert = tracker._orthonormalize_z(
+        jnp.asarray(G), jnp.ones((B, K, K)), passes=2,
+        u=jnp.asarray(u), s1=-jnp.ones((B, 1)))
+    assert float(jnp.max(cert)) < 1e-7, mag
+    Zn = np.asarray(Z)
+    np.testing.assert_allclose(Zn, np.triu(Zn), atol=0)
+    err = np.max(np.abs(np.swapaxes(Zn, 1, 2) @ G @ Zn - eye))
+    assert err < 1e-6, (mag, err)
+
+
+def test_orthonormalize_z_downdate_rank_loss():
+    """A downdate that destroys rank (||u|| >= 1 on some prefix, i.e. a
+    square-orthonormal level losing its row) drives t_j <= 0, the sqrt
+    yields NaN, and the certificate REJECTS — never a silent accept."""
+    K, B = 12, 4
+    rng = np.random.default_rng(17)
+    eye = np.eye(K)
+    for mag in (1.0, 1.2, 3.0):
+        u = rng.standard_normal((B, K))
+        u = mag * u / np.linalg.norm(u, axis=1, keepdims=True)
+        G = eye - u[:, :, None] * u[:, None, :]
+        _, cert = tracker._orthonormalize_z(
+            jnp.asarray(G), jnp.ones((B, K, K)), passes=2,
+            u=jnp.asarray(u), s1=-jnp.ones((B, 1)))
+        assert not bool(jnp.any(cert < 1e-3)), mag  # NaN/large -> reject
+    # prefix rank loss: u concentrated on an early coordinate
+    u = np.zeros((B, K)); u[:, 2] = 1.05
+    G = eye - u[:, :, None] * u[:, None, :]
+    _, cert = tracker._orthonormalize_z(
+        jnp.asarray(G), jnp.ones((B, K, K)), passes=2,
+        u=jnp.asarray(u), s1=-jnp.ones((B, 1)))
+    assert not bool(jnp.any(cert < 1e-3))
+
+
+def test_orthonormalize_z_kappa_fallback_boundary():
+    """The FALLBACK BOUNDARY (VERDICT r3 item 2): a badly conditioned
+    carried frame — an unannounced structural change the first-order
+    passes cannot contract — must fail the tracker's acceptance
+    threshold (cert_tol = 1e-3) for every kappa >= 1e2, so the exact
+    tier takes over; an exactly orthonormal frame is accepted, and a
+    genuinely rank-deficient G rejects (NaN or large)."""
+    K, B = 12, 6
+    rng = np.random.default_rng(19)
+    live2 = jnp.ones((B, K, K))
+    for kappa in (1e2, 1e4, 1e6):
         Q, _ = np.linalg.qr(rng.standard_normal((K, K)))
         s = np.geomspace(1.0, 1.0 / kappa, K)
-        M = np.stack([Q * s for _ in range(B)])  # kappa(M) = kappa
+        M = np.stack([Q * s for _ in range(B)])
         G = jnp.asarray(np.swapaxes(M, 1, 2) @ M)
-        live2 = jnp.ones((B, K, K))
-        Z, cert = tracker._orthonormalize_z(G, live2, passes=2)
-        assert float(jnp.max(cert)) < 1e-8, kappa
-        MZ = M @ np.asarray(Z)
-        err = np.max(np.abs(np.swapaxes(MZ, 1, 2) @ MZ - eye))
-        assert err < 1e-7, (kappa, err)
-    # rank-deficient: zero out one singular value entirely
-    s = np.ones(K); s[-1] = 0.0
+        _, cert = tracker._orthonormalize_z(G, live2, passes=2)
+        assert not bool(jnp.any(cert < 1e-3)), kappa  # rejected
     Q, _ = np.linalg.qr(rng.standard_normal((K, K)))
+    M = np.stack([Q for _ in range(B)])  # kappa = 1: accepted
+    G = jnp.asarray(np.swapaxes(M, 1, 2) @ M)
+    _, cert = tracker._orthonormalize_z(G, live2, passes=2)
+    assert float(jnp.max(cert)) < 1e-10
+    s = np.ones(K); s[-1] = 0.0  # zero singular value
     M = np.stack([Q * s for _ in range(B)])
     G = jnp.asarray(np.swapaxes(M, 1, 2) @ M)
-    _, cert = tracker._orthonormalize_z(G, jnp.ones((B, K, K)), passes=2)
-    assert not bool(jnp.any(cert < 1e-3))  # NaN or large -> rejected
+    _, cert = tracker._orthonormalize_z(G, live2, passes=2)
+    assert not bool(jnp.any(cert < 1e-3))
 
 
 @pytest.mark.parametrize("trial", range(4))
