@@ -28,6 +28,7 @@ from .lexlsi import (
     LexLSIState,
     Structure,
     solve,
+    solve_collect_wrong_sign,
     solve_core,
     solve_core_batched,
     solve_lambda,
@@ -40,6 +41,7 @@ __all__ = [
     "LexLSIState",
     "Structure",
     "solve",
+    "solve_collect_wrong_sign",
     "solve_core",
     "solve_core_batched",
     "solve_lambda",

@@ -1059,6 +1059,40 @@ def _get_lambda_body(A, lb, ub, ctr_type, reg, struct, params):
     return jnp.stack(cols, axis=1)
 
 
+def collect_wrong_sign(A, lb, ub, ctr_type, reg, struct: Structure,
+                       params: ParametersLexLSI):
+    """All wrong-sign multipliers of every objective, one vectorized pass.
+
+    TPU-native equivalent of the reference's collect-all
+    ``ObjectiveSensitivity`` overload (``lexlse.h:511-602``) evaluated
+    for every objective at once (each objective with single-call
+    semantics: the CORRECT_SIGN marking of ``findDescentDirection``,
+    ``lexlse.h:866-910``, is *returned*, not applied — within one call
+    each row is visited exactly once so marking cannot affect
+    collection).
+
+    Returns ``(wrong (m, n_obj) bool, marked (m, n_obj) bool,
+    lam (m, n_obj))`` in user constraint order: ``wrong[i, j]`` iff row
+    ``i`` is an active LB/UB constraint in objective ``j``'s scope
+    (levels <= j, plus the simple-bounds rows — the reference's
+    fixed-variable check, ``lexlse.h:591-601``) whose sign-adjusted
+    multiplier is below ``-tol_wrong_sign_lambda``; ``marked[i, j]`` iff
+    it exceeds ``tol_correct_sign_lambda`` (the rows the reference would
+    flip to CORRECT_SIGN_OF_LAMBDA)."""
+    lam = _get_lambda_impl(A, lb, ub, ctr_type, reg, struct, params)
+    scope_np = np.zeros((struct.m, struct.n_obj), bool)
+    for j in range(struct.obj_offset, struct.n_obj):
+        scope_np[:, j] = np.asarray(
+            struct.sweep_eligible(j - struct.obj_offset))
+    scope = jnp.asarray(scope_np)
+    is_lb = ctr_type == int(CtrType.ACTIVE_LB)
+    eligible = (is_lb | (ctr_type == int(CtrType.ACTIVE_UB)))[:, None] & scope
+    a = jnp.where(is_lb[:, None], -lam, lam)
+    wrong = eligible & (a < -params.tol_wrong_sign_lambda)
+    marked = eligible & (a > params.tol_correct_sign_lambda)
+    return wrong, marked, lam
+
+
 # ---------------------------------------------------------------------------
 # Host-facing API
 # ---------------------------------------------------------------------------
@@ -1214,3 +1248,18 @@ def solve_lambda(prob: InequalityHierarchy, res: LexLSIResult,
         jnp.asarray(prob.A, dtype), jnp.asarray(res.lb, dtype),
         jnp.asarray(res.ub, dtype), jnp.asarray(res.ctr_type),
         jnp.asarray(prob.regularization, dtype), struct, params))
+
+
+def solve_collect_wrong_sign(prob: InequalityHierarchy, res: LexLSIResult,
+                             params: Optional[ParametersLexLSI] = None,
+                             dtype=jnp.float64):
+    """Host wrapper of :func:`collect_wrong_sign` at the working set of
+    ``res``: ``(wrong (m, n_obj) bool, marked (m, n_obj) bool,
+    lam (m, n_obj))`` as NumPy arrays."""
+    params = params or ParametersLexLSI()
+    struct = Structure.of(prob)
+    w, mk, lam = collect_wrong_sign(
+        jnp.asarray(prob.A, dtype), jnp.asarray(res.lb, dtype),
+        jnp.asarray(res.ub, dtype), jnp.asarray(res.ctr_type),
+        jnp.asarray(prob.regularization, dtype), struct, params)
+    return np.asarray(w), np.asarray(mk), np.asarray(lam)

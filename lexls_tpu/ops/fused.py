@@ -36,8 +36,11 @@ Numerical design (all shared with the XLA tiers, parity-tested):
     back-propagate by sequential Householder replay — exactly the
     reference's ``applyOnTheLeft(householderSequence(...))`` order.
 
+Simple-bounds level 0 IS supported (fixed-variable elimination inside the
+kernel: ``d0``/``var_idx`` inputs, column zeroing + rhs folding).
 Unsupported here (the XLA path remains the general tier): regularization,
-simple-bounds level 0, cycling handling, working-set log, trace.
+cycling handling, working-set log, trace — see PARITY.md's option x tier
+matrix.
 """
 
 from __future__ import annotations

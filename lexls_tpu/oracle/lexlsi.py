@@ -513,6 +513,48 @@ class _OracleLexLSI:
             lb=self.lb.copy(), ub=self.ub.copy(),
         )
 
+    def collect_wrong_sign(self, obj_index: int):
+        """Reference collect-all ``ObjectiveSensitivity`` overload
+        (``lexlse.h:511-602``) for LexLSE objective ``obj_index``: a
+        sequential sweep over levels obj_index..0 then the fixed
+        (simple-bounds) rows, collecting every active LB/UB row whose
+        sign-adjusted multiplier is below ``-tol_wrong_sign_lambda``
+        and marking rows above ``tol_correct_sign_lambda`` CORRECT_SIGN
+        (``findDescentDirection`` vector form, ``lexlse.h:866-910``).
+        Single-call semantics: marks are returned, not written to the
+        solver state.  Returns ``(wrong_rows, marked_rows)`` as sorted
+        lists of user constraint-row indexes."""
+        f = self._factorize()
+        prm = self.params
+        p = self.prob
+        d0 = p.dims[0] if p.simple_bounds else 0
+        lam_fixed, lam = oe.objective_sensitivity(f, obj_index)
+        wrong: List[int] = []
+        marked: List[int] = []
+        for k in list(range(obj_index, -1, -1)) + ["fixed"]:
+            if k == "fixed":
+                rows = self._fixed_rows
+                vals = lam_fixed
+            else:
+                lvl = k + self.obj_offset
+                fr = self.first_row[lvl]
+                rows = np.arange(fr, fr + p.dims[lvl])
+                vals = lam[fr - d0 : fr - d0 + p.dims[lvl]]
+            for idx, i in enumerate(rows):
+                t = self.ctr_type[i]
+                if t in (int(CtrType.ACTIVE_EQ),
+                         int(CtrType.CORRECT_SIGN_OF_LAMBDA),
+                         int(CtrType.INACTIVE)):
+                    continue
+                a = vals[idx]
+                if t == int(CtrType.ACTIVE_LB):
+                    a = -a
+                if a > prm.tol_correct_sign_lambda:
+                    marked.append(int(i))
+                elif a < -prm.tol_wrong_sign_lambda:
+                    wrong.append(int(i))
+        return sorted(wrong), sorted(marked)
+
     def get_lambda(self) -> np.ndarray:
         """λ matrix (n_ctr x n_obj) in user constraint order
         (``lexlsi.h:552-605``); column k = multipliers of objective k."""
