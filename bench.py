@@ -85,6 +85,9 @@ def main():
     panel_unroll = int(os.environ.get("LEXLS_BENCH_PANEL_UNROLL", 1))
     # capped compaction rounds before the unbounded finish phase
     compact_rounds = int(os.environ.get("LEXLS_BENCH_COMPACT_ROUNDS", 1))
+    # tracked mode: full-batch tracker trips before the fused-kernel
+    # handover absorbs the straggler tail (0 = unbounded)
+    loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 0))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -159,7 +162,7 @@ def main():
                     struct=struct, params=params, tile=tile,
                     interpret=not on_tpu, vmem_limit_mb=vmem_mb,
                     compact=compact, tile_b=tile_b,
-                    compact_rounds=compact_rounds)
+                    compact_rounds=compact_rounds, loop_cap=loop_cap)
                 return (st.x, st.ctr_type, car), (st.status, st.it)
 
             (x, ct, _), (statuses, its) = lax.scan(
@@ -240,7 +243,7 @@ def main():
     mfu = mfu_report(rate, n_var, dims, warm_it_sum / warm_count)
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
           f"tile={tile} compact={compact}x{compact_rounds} tile_b={tile_b} "
-          f"unroll={panel_unroll} "
+          f"unroll={panel_unroll} loop_cap={loop_cap} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

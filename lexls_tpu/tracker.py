@@ -619,7 +619,8 @@ def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
     jax.jit,
     static_argnames=("struct", "params", "tile", "interpret",
                      "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
-                     "compact_rounds", "ns_iters", "cert_tol", "ext_steps"),
+                     "compact_rounds", "ns_iters", "cert_tol", "ext_steps",
+                     "loop_cap"),
 )
 def solve_core_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -629,7 +630,7 @@ def solve_core_tracked(
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
     ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
-    reg=None,
+    reg=None, loop_cap: int = 0,
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
 
@@ -652,6 +653,12 @@ def solve_core_tracked(
     the damped per-level solve runs as a batched masked Cholesky inside
     the tracker loop, and fallback instances continue on the exact XLA
     tier (the fused kernel has no regularization).
+
+    ``loop_cap`` > 0 bounds the full-batch tracker loop to that many
+    trips; still-alive instances then finish in the fused kernel (whose
+    per-TILE early exit prices stragglers better than a full-batch trip
+    — the batch pays E[max iterations] trips otherwise, a heavy tail:
+    warm mean 1.34 but max ~5 at B=384 on the north-star bench).
     """
     _check_tracked_config(params, reg, "solve_core_tracked")
     with jax.default_matmul_precision("float32"):
@@ -665,7 +672,7 @@ def solve_core_tracked(
         interpret=interpret, vmem_limit_mb=vmem_limit_mb, compact=compact,
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
-        cert_tol=cert_tol, ext_steps=ext_steps,
+        cert_tol=cert_tol, ext_steps=ext_steps, loop_cap=loop_cap,
         reg=None if params.regularization_type == RegularizationType.NONE
         else reg)
 

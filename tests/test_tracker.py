@@ -33,7 +33,7 @@ def _level_norms(v, struct):
     return np.stack(out, axis=1)
 
 
-def _drive(trial, kicks, B=8):
+def _drive(trial, kicks, B=8, loop_cap=0):
     rng = np.random.default_rng(900 + trial)
     n = int(rng.integers(6, 14))
     p = int(rng.integers(2, 5))
@@ -84,7 +84,8 @@ def _drive(trial, kicks, B=8):
                             x_guess_specified=True)
         stt, carried = tracker.solve_core_tracked(
             A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
-            struct=struct, params=params, tile=B, interpret=True)
+            struct=struct, params=params, tile=B, interpret=True,
+            loop_cap=loop_cap)
         np.testing.assert_array_equal(
             np.asarray(stt.status), np.asarray(ref.status),
             err_msg=f"trial {trial} step {t}")
@@ -232,6 +233,15 @@ def test_tracked_kicks_and_fallback(trial):
     """Large kicks force working-set changes (kernel handover) and
     verification failures (full fallback)."""
     _drive(trial, kicks=(0.05, 0.3, 0.05))
+
+
+@pytest.mark.parametrize("trial,cap", [(0, 1), (1, 2), (2, 1), (3, 2)])
+def test_tracked_loop_cap_handover(trial, cap):
+    """Capped tracker trips: instances still alive at the cap finish in
+    the fused kernel (per-instance it0 handover); results must equal the
+    XLA tier regardless of where the handover lands.  Large kicks force
+    multi-iteration solves so the cap actually binds."""
+    _drive(trial, kicks=(0.05, 0.3, 0.05), loop_cap=cap)
 
 
 def test_tracked_lambda_noise_floor_regression():

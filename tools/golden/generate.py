@@ -54,8 +54,12 @@ def build():
     return exe
 
 
-def run_case(exe, dat_path, json_path, max_fact=None):
+def run_case(exe, dat_path, json_path, max_fact=None, reg=None):
     cmd = [exe, dat_path] + ([str(max_fact)] if max_fact else [])
+    if reg is not None:
+        reg_type, factors = reg
+        cmd += ["--reg", str(int(reg_type)),
+                ",".join(f"{f:.17g}" for f in factors)]
     out = subprocess.run(cmd, check=True, capture_output=True, text=True)
     rec = json.loads(out.stdout)
     with open(json_path, "w") as f:
@@ -114,6 +118,82 @@ def warm_corpus():
     return cases
 
 
+def warm_sb_corpus():
+    """Simple-bounds warm pairs (VERDICT r3 weak 6): level 0 is a
+    SIMPLE_BOUNDS_OBJECTIVE whose active rows fix variables — the regime
+    the fused kernel's d0 path and the tracker's bounds handling must
+    match the reference on warm starts."""
+    from lexls_tpu.oracle import generate as gen
+
+    cases = []
+    for trial in range(6):
+        rng = np.random.default_rng(9700 + trial)
+        n = int(rng.integers(8, 20))
+        p = int(rng.integers(2, 5))
+        dims = [int(rng.integers(2, min(8, n)))] + [
+            int(rng.integers(2, 8)) for _ in range(p - 1)]
+        prob = gen.random_inequality_hierarchy(
+            rng, n, dims,
+            equality_fraction=float(rng.random() * 0.3),
+            tight_fraction=float(0.25 + rng.random() * 0.5),
+            simple_bounds=True)
+        drift = 1e-3 * rng.standard_normal(prob.A.shape)
+        drift[:dims[0], :] = 0.0  # structural one-hot rows
+        cases.append((f"warm_sb_{trial:02d}", prob, drift))
+    return cases
+
+
+def warm_tik_corpus():
+    """TIKHONOV-regularized warm pairs: the damped solve path
+    (``regularize_tikhonov``, lexlse.h:1700-1763) under warm starts —
+    the tracker's supported regularization mode."""
+    from lexls_tpu.oracle import generate as gen
+
+    cases = []
+    for trial in range(6):
+        rng = np.random.default_rng(9800 + trial)
+        n = int(rng.integers(6, 16))
+        p = int(rng.integers(2, 4))
+        dims = [int(rng.integers(2, 7)) for _ in range(p)]
+        ranks = [min(d, int(rng.integers(1, d + 1))) for d in dims]
+        prob = gen.random_inequality_hierarchy(
+            rng, n, dims, ranks=ranks,
+            equality_fraction=float(rng.random() * 0.25),
+            tight_fraction=float(0.2 + rng.random() * 0.4))
+        factors = [float(10.0 ** rng.uniform(-4, -2)) for _ in dims]
+        drift = 1e-3 * rng.standard_normal(prob.A.shape)
+        cases.append((f"warm_tik_{trial:02d}", prob, drift, factors))
+    return cases
+
+
+def seq_corpus():
+    """Multi-step drifted sequences (doc/hot_start.tex:437-571): solve t
+    seeds solve t+1 through the reference itself, 3 warm steps each —
+    the regime the cross-solve tracker optimizes."""
+    from lexls_tpu.oracle import generate as gen
+
+    cases = []
+    for trial in range(4):
+        rng = np.random.default_rng(9900 + trial)
+        n = int(rng.integers(8, 18))
+        p = int(rng.integers(2, 5))
+        dims = [int(rng.integers(2, 7)) for _ in range(p)]
+        simple = trial % 2 == 1 and dims[0] <= n
+        prob = gen.random_inequality_hierarchy(
+            rng, n, dims,
+            equality_fraction=float(rng.random() * 0.25),
+            tight_fraction=float(0.25 + rng.random() * 0.4),
+            simple_bounds=simple)
+        drifts = []
+        for _ in range(3):
+            d = 1e-3 * rng.standard_normal(prob.A.shape)
+            if simple:
+                d[:dims[0], :] = 0.0
+            drifts.append(d)
+        cases.append((f"seq_{trial:02d}", prob, drifts))
+    return cases
+
+
 def eq_corpus():
     from lexls_tpu.oracle import generate as gen
 
@@ -157,33 +237,76 @@ def main():
         print(name, "status", rec.get("status"),
               "fact", rec.get("factorizations"))
 
-    for name, prob, drift in warm_corpus():
-        base_path = os.path.join(CASES, name + "_base.dat")
-        io_dat.save_dat(base_path, from_inequality(prob))
-        rec0 = run_case(exe, base_path, os.path.join(OUT, name + "_base.json"))
-        index[name + "_base"] = {"dat": os.path.relpath(base_path, OUT),
-                                 "status": rec0.get("status")}
-        # guess = the base solve's final per-row activation types (EQ is
-        # determined internally from lb==ub, so write INACTIVE for it)
-        guess = np.concatenate([np.asarray(g, np.int64)
-                                for g in rec0["active"]])
-        guess[guess == 3] = 0
-        x0 = np.asarray(rec0["x"], float)
-        warm = type(prob)(
+    def drifted(prob, drift, regularization=None):
+        return type(prob)(
             A=prob.A + drift, lb=prob.lb.copy(), ub=prob.ub.copy(),
             dims=tuple(prob.dims), n_var=prob.n_var,
             simple_bounds=prob.simple_bounds,
             var_idx=None if prob.var_idx is None else prob.var_idx.copy(),
-            regularization=prob.regularization.copy())
+            regularization=(prob.regularization.copy()
+                            if regularization is None
+                            else np.asarray(regularization, float)))
+
+    def guess_of(rec):
+        # the previous solve's final per-row activation types (EQ is
+        # determined internally from lb==ub, so write INACTIVE for it)
+        guess = np.concatenate([np.asarray(g, np.int64)
+                                for g in rec["active"]])
+        guess[guess == 3] = 0
+        return guess
+
+    def warm_step(name, warm_prob, guess, x0, reg=None, extra=None):
+        """Write a HierType-210 .dat + solve it with the reference."""
         dat_path = os.path.join(CASES, name + ".dat")
         io_dat.save_dat(dat_path, from_inequality(
-            warm, active_set_guess=guess, solution_guess=x0))
-        rec = run_case(exe, dat_path, os.path.join(OUT, name + ".json"))
+            warm_prob, active_set_guess=guess, solution_guess=x0))
+        rec = run_case(exe, dat_path, os.path.join(OUT, name + ".json"),
+                       reg=reg)
         index[name] = {"dat": os.path.relpath(dat_path, OUT),
-                       "status": rec.get("status"), "warm": True}
+                       "status": rec.get("status"), "warm": True,
+                       **(extra or {})}
+        return rec
+
+    def warm_pair(name, prob, drift, reg=None, extra=None):
+        base_path = os.path.join(CASES, name + "_base.dat")
+        io_dat.save_dat(base_path, from_inequality(prob))
+        rec0 = run_case(exe, base_path,
+                        os.path.join(OUT, name + "_base.json"), reg=reg)
+        index[name + "_base"] = {"dat": os.path.relpath(base_path, OUT),
+                                 "status": rec0.get("status"),
+                                 **(extra or {})}
+        rec = warm_step(name, drifted(prob, drift), guess_of(rec0),
+                        np.asarray(rec0["x"], float), reg=reg, extra=extra)
         print(name, "status", rec.get("status"),
               "fact", rec.get("factorizations"),
               "(cold base:", rec0.get("factorizations"), ")")
+
+    for name, prob, drift in warm_corpus():
+        warm_pair(name, prob, drift)
+
+    for name, prob, drift in warm_sb_corpus():
+        warm_pair(name, prob, drift)
+
+    for name, prob, drift, factors in warm_tik_corpus():
+        # REGULARIZATION_TIKHONOV = 1 (typedefs.h:35); the drifted .dat
+        # carries the factors so the Python side solves identically
+        warm_pair(name, prob, drift, reg=(1, factors),
+                  extra={"reg_type": 1, "reg_factors": factors})
+
+    for name, prob, drifts in seq_corpus():
+        base_path = os.path.join(CASES, name + "_t0.dat")
+        io_dat.save_dat(base_path, from_inequality(prob))
+        rec = run_case(exe, base_path, os.path.join(OUT, name + "_t0.json"))
+        index[name + "_t0"] = {"dat": os.path.relpath(base_path, OUT),
+                               "status": rec.get("status"), "seq": name}
+        acc = np.zeros_like(prob.A)
+        for t, drift in enumerate(drifts, start=1):
+            acc = acc + drift
+            rec = warm_step(f"{name}_t{t}", drifted(prob, acc),
+                            guess_of(rec), np.asarray(rec["x"], float),
+                            extra={"seq": name, "step": t})
+            print(f"{name}_t{t}", "status", rec.get("status"),
+                  "fact", rec.get("factorizations"))
 
     for name, (A, b, dims_t, n_var) in eq_corpus():
         dat_path = os.path.join(CASES, name + ".dat")

@@ -32,8 +32,33 @@ int main(int argc, char **argv)
 {
     if (argc < 2)
     {
-        std::fprintf(stderr, "usage: %s file.dat [max_factorizations]\n", argv[0]);
+        std::fprintf(stderr,
+                     "usage: %s file.dat [max_factorizations]"
+                     " [--reg type f0,f1,...]\n",
+                     argv[0]);
         return 1;
+    }
+
+    // optional regularization: --reg <type_int> <comma-joined per-objective
+    // factors> (drives parameters.regularization_type +
+    // setRegularizationFactor, lexlsi.h:498-503)
+    int reg_type = 0;
+    std::vector<double> reg_factors;
+    for (int a = 2; a < argc; ++a)
+    {
+        if (std::strcmp(argv[a], "--reg") == 0 && a + 2 < argc)
+        {
+            reg_type = std::atoi(argv[a + 1]);
+            std::string s(argv[a + 2]);
+            size_t pos = 0;
+            while (pos < s.size())
+            {
+                size_t next = s.find(',', pos);
+                if (next == std::string::npos) next = s.size();
+                reg_factors.push_back(std::atof(s.substr(pos, next - pos).c_str()));
+                pos = next + 1;
+            }
+        }
     }
 
     LexLS::tools::HierarchyType hierarchy_type;
@@ -83,11 +108,21 @@ int main(int argc, char **argv)
 
     LexLS::internal::LexLSI lsi(nVar, nObj, &nCtr[0], &objTypes[0]);
     LexLS::ParametersLexLSI parameters;  // reference defaults
-    if (argc > 2)
+    if (argc > 2 && std::strcmp(argv[2], "--reg") != 0)
     {
         parameters.max_number_of_factorizations = std::atoi(argv[2]);
     }
+    if (reg_type != 0)
+    {
+        parameters.regularization_type =
+            static_cast<LexLS::RegularizationType>(reg_type);
+    }
     lsi.setParameters(parameters);
+    for (size_t i = 0; i < reg_factors.size() && i < (size_t)nObj; ++i)
+    {
+        lsi.setRegularizationFactor(static_cast<LexLS::Index>(i),
+                                    reg_factors[i]);
+    }
 
     for (LexLS::Index i = 0; i < nObj; ++i)
     {
