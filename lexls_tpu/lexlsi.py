@@ -855,15 +855,15 @@ def solve_core_fused(
 
     Functionally equivalent to ``vmap`` of :func:`solve_core` for the
     supported configuration (general objectives, no regularization,
-    no cycling handling, no working-set log, no trace); raises
-    ``LexLSError`` otherwise — the XLA tiers remain the general path.
+    no trace, no phase1-v0; cycling handling and the working-set log
+    run IN-kernel); raises ``LexLSError`` otherwise — the XLA tiers
+    remain the general path (PARITY.md option x tier matrix).
     """
     if params.regularization_type != RegularizationType.NONE:
         raise LexLSError("solve_core_fused: regularization unsupported")
-    if (params.cycling_handling_enabled or params.log_working_set_enabled
-            or params.trace_enabled or params.use_phase1_v0):
+    if params.trace_enabled or params.use_phase1_v0:
         raise LexLSError(
-            "solve_core_fused: cycling/log/trace/use_phase1_v0 unsupported")
+            "solve_core_fused: trace/use_phase1_v0 unsupported")
     B = A.shape[0]
     for name, t in (("tile", tile), ("tile_b", tile_b)):
         t_eff = min(t, B) if t else t
@@ -929,6 +929,8 @@ def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,
                  for j in range(p))
     var_idx = struct.var_idx if struct.simple_bounds else ()
 
+    log_on = params.log_working_set_enabled
+    cyc_on = params.cycling_handling_enabled
     with jax.default_matmul_precision("float32"):
         kw = dict(
             dims=struct.lexlse_dims, d0=struct.d0, var_idx=var_idx,
@@ -939,10 +941,21 @@ def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,
             max_fact=params.max_number_of_factorizations,
             deact_first=params.deactivate_first_wrong_sign,
             prio=prio, elig=elig, tile=tile, interpret=interpret,
-            vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll)
+            vmem_limit_mb=vmem_limit_mb, panel_unroll=panel_unroll,
+            log_cap=(s.log_obj.shape[1] if log_on else 0),
+            cycling=cyc_on, cyc_max=params.cycling_max_counter,
+            cyc_relax=params.cycling_relax_step)
+        log_state0 = ((s.log_obj, s.log_ctr, s.log_type, s.log_value,
+                       s.log_rank, s.log_cycling.astype(jnp.int32),
+                       s.log_len[:, None], s.log_overflow[:, None]
+                       .astype(jnp.int32)) if log_on else None)
+        cyc_state0 = ((s.cyc_counter[:, None], s.cyc_prev_op[:, None],
+                       s.cyc_prev_row[:, None], s.cyc_prev_type[:, None])
+                      if cyc_on else None)
         outs = fused_active_set(
             A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
-            s.Ax, s.n_fact, it0=it0, iter_cap=compact, **kw)
+            s.Ax, s.n_fact, it0=it0, iter_cap=compact,
+            log_state=log_state0, cyc_state=cyc_state0, **kw)
         if compact:
             # iteration compaction: pause after `compact` iterations,
             # permute unconverged instances to the front (a tile whose
@@ -978,13 +991,16 @@ def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,
             def resume(outs, cap, kw_r):
                 (xA, vA, dxA, dvA, AxA, AdxA, ctA, stA, nsA, itA, naA,
                  ndA, nfA, stat) = outs[:14]
+                lbA, ubA = outs[17], outs[18]
                 unconverged = stat[:, 0] == int(TerminationStatus.UNKNOWN)
                 order = jnp.argsort(~unconverged)
                 hot = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
                 g = lambda arr: permute(arr, hot)
                 outs_B = fused_active_set(
-                    g(A), g(s.lb), g(s.ub), g(ctA), g(stA), g(nsA)[:, 0],
+                    g(A), g(lbA), g(ubA), g(ctA), g(stA), g(nsA)[:, 0],
                     g(xA), g(vA), g(AxA), g(nfA)[:, 0], it0=g(itA)[:, 0],
+                    log_state=tuple(g(a) for a in outs[19:27]),
+                    cyc_state=tuple(g(a) for a in outs[27:31]),
                     iter_cap=cap, **kw_r)
                 hot_t = hot.T
                 # resumed instances take the new phase; converged keep
@@ -1002,7 +1018,9 @@ def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,
                 outs = resume(outs, compact, kw)
             outs = resume(outs, 0, kw_b)
         (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
-         status, rpadf, posf, ranksf) = outs
+         status, rpadf, posf, ranksf, lb_f, ub_f,
+         lobj, lctr, ltyp, lval, lrank, lcyc, llen, lovf,
+         ccnt, cop, crow, ctypv) = outs
 
         status = jnp.where(
             status[:, 0] == int(TerminationStatus.UNKNOWN),
@@ -1014,6 +1032,17 @@ def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,
             stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0], n_act=na[:, 0],
             n_deact=nd[:, 0], n_fact=nf[:, 0], status=status,
         )
+        if log_on:
+            state = dataclasses.replace(
+                state, log_obj=lobj, log_ctr=lctr, log_type=ltyp,
+                log_value=lval, log_rank=lrank,
+                log_cycling=lcyc.astype(bool), log_len=llen[:, 0],
+                log_overflow=lovf[:, 0].astype(bool))
+        if cyc_on:
+            state = dataclasses.replace(
+                state, lb=lb_f, ub=ub_f, cyc_counter=ccnt[:, 0],
+                cyc_prev_op=cop[:, 0], cyc_prev_row=crow[:, 0],
+                cyc_prev_type=ctypv[:, 0])
         if return_factors:
             return state, (rpadf, posf, ranksf)
         return state

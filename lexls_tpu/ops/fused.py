@@ -37,10 +37,11 @@ Numerical design (all shared with the XLA tiers, parity-tested):
     reference's ``applyOnTheLeft(householderSequence(...))`` order.
 
 Simple-bounds level 0 IS supported (fixed-variable elimination inside the
-kernel: ``d0``/``var_idx`` inputs, column zeroing + rhs folding).
-Unsupported here (the XLA path remains the general tier): regularization,
-cycling handling, working-set log, trace — see PARITY.md's option x tier
-matrix.
+kernel: ``d0``/``var_idx`` inputs, column zeroing + rhs folding), and so
+are the working-set log (fixed-capacity VMEM ring, ``typedefs.h:380-432``)
+and cycling handling (``cycling.h:32-65``) since round 4.  Unsupported
+here (the XLA path remains the general tier): regularization, trace,
+use_phase1_v0 — see PARITY.md's option x tier matrix.
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import CtrType, TerminationStatus
+from ..types import CtrType, OperationType, TerminationStatus
 from .pallas_lqr import _panel_step_core
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -180,19 +181,33 @@ def _check_blocking_tile(ctr_type, Ax, Adx, v, dv, lb, ub, tol_feasibility,
 
 def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                   Ax_in, nf_in, it0_in, prio_in, elig_in, vmap_in,
-                  vplace_in, gplace_in,
+                  vplace_in, gplace_in, lvlrow_in,
+                  lobj_in, lctr_in, ltyp_in, lval_in, lrank_in, lcyc_in,
+                  llen_in, lovf_in, ccnt_in, cop_in, crow_in, ctypv_in,
                   x_o, v_o, dx_o, dv_o, Ax_o, Adx_o, ct_o, st_o, ns_o,
                   it_o, na_o, nd_o, nf_o, status_o, rpad_o, posf_o, ranks_o,
+                  lb_o, ub_o,
+                  lobj_o, lctr_o, ltyp_o, lval_o, lrank_o, lcyc_o,
+                  llen_o, lovf_o, ccnt_o, cop_o, crow_o, ctypv_o,
                   lod_ref, hh_ref, pos_ref, cn_ref,
                   ci_ref, stop_ref, *v_refs):
     """One batch tile's full active-set solve; ``ctx`` carries the static
     problem structure and tolerances; ``prio_in``/``elig_in`` (p, m) hold
     the lambda-sweep visit priorities / eligibility per objective.
 
+    Working-set log (``typedefs.h:380-432``) and cycling handling
+    (``cycling.h:32-65``) run IN-kernel when statically enabled
+    (``log_cap`` > 0 / ``cycling``): the log is a fixed-capacity VMEM
+    ring written by masked one-hot updates, the cycling detector is four
+    scalars per instance, and bound relaxation mutates the lb/ub working
+    copies (``lb_o``/``ub_o``).  ``lvlrow_in`` (2, m) maps constraint
+    row -> (objective index, row-within-objective) for log entries.
+
     ``ablate`` (profiling-only, see :func:`fused_active_set`) statically
     skips stages; results are meaningless when non-empty."""
     (dims, offsets, n, m, d0, p, tol_ld, tol_feas, tol_wrong, tol_correct,
-     max_fact, deact_first, iter_cap, ablate, panel_unroll) = ctx
+     max_fact, deact_first, iter_cap, ablate, panel_unroll,
+     log_cap, cycling, cyc_max, cyc_relax) = ctx
     Kmax = rpad_o.shape[-1]
     TB = A_in.shape[0]
     dtype = A_in.dtype
@@ -219,6 +234,22 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     rpad_o[:] = jnp.zeros((TB, p, Kmax, Kmax), dtype)
     posf_o[:] = iota_n
     ranks_o[:] = jnp.zeros((TB, p), jnp.int32)
+    # lb/ub working copies (cycling relaxation mutates them in-kernel)
+    lb_o[:] = lb_in[:]
+    ub_o[:] = ub_in[:]
+    # working-set log + cycling state (resume-capable: seeded from inputs)
+    lobj_o[:] = lobj_in[:]
+    lctr_o[:] = lctr_in[:]
+    ltyp_o[:] = ltyp_in[:]
+    lval_o[:] = lval_in[:]
+    lrank_o[:] = lrank_in[:]
+    lcyc_o[:] = lcyc_in[:]
+    llen_o[:] = llen_in[:]
+    lovf_o[:] = lovf_in[:]
+    ccnt_o[:] = ccnt_in[:]
+    cop_o[:] = cop_in[:]
+    crow_o[:] = crow_in[:]
+    ctypv_o[:] = ctypv_in[:]
 
     def alive_now():
         if "off" in ablate:
@@ -239,8 +270,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     def body(_carry):
         alive = alive_now()  # (TB, 1)
         ct = ct_o[:]
-        lb = lb_in[:]
-        ub = ub_in[:]
+        lb = lb_o[:]
+        ub = ub_o[:]
         active = _is_active(ct)
         rhs_row = _rhs_of_type(lb, ub, ct)
 
@@ -426,6 +457,8 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                                               ranks_o[:, k : k + 1])
         posf_o[:] = jnp.where(alive, pos_ref[:], posf_o[:])
 
+        total_rank = ci_ref[:]  # (TB, 1) — positions consumed = Σ ranks
+
         # ---- basic solve: per-level backward substitution in variable
         # space (free variables = 0; ``lexlse.h:1015-1045``)
         x_var = jnp.zeros((TB, n), dtype)
@@ -537,6 +570,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         sense = ct
         found = jnp.zeros((TB, 1), bool)
         sel_row = jnp.full((TB, 1), -1, jnp.int32)
+        sel_val = jnp.zeros((TB, 1), dtype)
         if "rsel" in ablate:
             # profiling stub: data-dependent, skips the selection loop
             found = lam_all[:, 0, :1] > 1e30
@@ -575,6 +609,7 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 first = wrong & (st_o[:] == kmin)
                 row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
                                 keepdims=True).astype(jnp.int32)
+                val_j = jnp.zeros((TB, 1), dtype)
             else:
                 amask = jnp.where(wrong, a, jnp.asarray(jnp.inf, dtype))
                 amin = jnp.min(amask, axis=1, keepdims=True)
@@ -585,8 +620,10 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                 first = tie & (prio == pmin)
                 row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
                                 keepdims=True).astype(jnp.int32)
+                val_j = amin
             commit = found_j & jnp.logical_not(found)
             sel_row = jnp.where(commit, row_j, sel_row)
+            sel_val = jnp.where(commit, val_j, sel_val)
             found = found | found_j
 
         do_remove = want_sweep & found
@@ -622,6 +659,75 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
         new_nd = nd_o[:] + do_remove.astype(jnp.int32)
         new_nf = nf_o[:] + (it_o[:] > 0).astype(jnp.int32)
 
+        # ---- working-set log (``typedefs.h:380-432``, ``lexlsi.h:1188-1222``)
+        # fixed-capacity VMEM buffer, masked one-hot writes (no scatter)
+        if log_cap:
+            iota_c = lax.broadcasted_iota(jnp.int32, (TB, log_cap), 1)
+            want_log = (blocking | do_remove) & alive
+            can_log = llen_o[:] < log_cap
+            do_log = want_log & can_log
+            lovf_o[:] = jnp.where(want_log & jnp.logical_not(can_log),
+                                  1, lovf_o[:])
+            lrow = jnp.where(blocking, brow, rrow)            # (TB, 1)
+            rh = iota_m == lrow
+            lvlrow = lvlrow_in[:]                             # (2, m)
+            lvl_map = lax.slice_in_dim(lvlrow, 0, 1, axis=0)  # (1, m)
+            row_map = lax.slice_in_dim(lvlrow, 1, 2, axis=0)
+            lvl = jnp.sum(jnp.where(rh, lvl_map, 0), axis=1, keepdims=True)
+            ctr_in_lvl = jnp.sum(jnp.where(rh, row_map, 0), axis=1,
+                                 keepdims=True)
+            entry_type = jnp.where(blocking, btype, int(CtrType.INACTIVE))
+            entry_val = jnp.where(blocking, alpha, sel_val)
+            at = do_log & (iota_c == llen_o[:])
+            lobj_o[:] = jnp.where(at, lvl, lobj_o[:])
+            lctr_o[:] = jnp.where(at, ctr_in_lvl, lctr_o[:])
+            ltyp_o[:] = jnp.where(at, entry_type, ltyp_o[:])
+            lval_o[:] = jnp.where(at, entry_val, lval_o[:])
+            lrank_o[:] = jnp.where(at, total_rank, lrank_o[:])
+            llen_o[:] = llen_o[:] + do_log.astype(jnp.int32)
+
+        # ---- cycling handling (``cycling.h:32-65``): a REMOVE followed
+        # by an ADD of the same (row, type) relaxes the bound that was
+        # removed; past cyc_max occurrences the solve terminates with
+        # PROBLEM_SOLVED_CYCLING_HANDLING
+        if cycling:
+            op = jnp.where(blocking, int(OperationType.ADD),
+                           jnp.where(do_remove, int(OperationType.REMOVE),
+                                     int(OperationType.UNDEFINED)))
+            crow_now = jnp.where(blocking, brow,
+                                 jnp.where(do_remove, rrow, -1))
+            # the type the row was added with / had before removal
+            rm_typ = jnp.sum(jnp.where((iota_m == rrow) & do_remove, ct, 0),
+                             axis=1, keepdims=True).astype(jnp.int32)
+            ctyp_now = jnp.where(blocking, btype,
+                                 jnp.where(do_remove, rm_typ, -1))
+            detected = ((op == int(OperationType.ADD))
+                        & (cop_o[:] == int(OperationType.REMOVE))
+                        & (crow_now == crow_o[:])
+                        & (ctyp_now == ctypv_o[:])
+                        & alive)
+            over = detected & (ccnt_o[:] >= cyc_max)
+            relax = detected & jnp.logical_not(over)
+            new_status = jnp.where(
+                over,
+                int(TerminationStatus.PROBLEM_SOLVED_CYCLING_HANDLING),
+                new_status)
+            ph = iota_m == crow_o[:]
+            lb_o[:] = jnp.where(
+                relax & ph & (ctypv_o[:] == int(CtrType.ACTIVE_LB)),
+                lb_o[:] - cyc_relax, lb_o[:])
+            ub_o[:] = jnp.where(
+                relax & ph & (ctypv_o[:] == int(CtrType.ACTIVE_UB)),
+                ub_o[:] + cyc_relax, ub_o[:])
+            ccnt_o[:] = ccnt_o[:] + relax.astype(jnp.int32)
+            if log_cap:
+                last = jnp.clip(llen_o[:] - 1, 0, log_cap - 1)
+                lcyc_o[:] = jnp.where(relax & (iota_c == last), 1, lcyc_o[:])
+            upd = (op != int(OperationType.UNDEFINED)) & alive
+            cop_o[:] = jnp.where(upd, op, cop_o[:])
+            crow_o[:] = jnp.where(upd, crow_now, crow_o[:])
+            ctypv_o[:] = jnp.where(upd, ctyp_now, ctypv_o[:])
+
         # ---- freeze terminated instances
         af = alive.astype(dtype)
         ai = alive.astype(jnp.int32)
@@ -656,16 +762,19 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
     static_argnames=("dims", "d0", "var_idx", "tol_ld", "tol_feas",
                      "tol_wrong", "tol_correct", "max_fact", "deact_first",
                      "prio", "elig", "tile", "interpret", "vmem_limit_mb",
-                     "iter_cap", "ablate", "panel_unroll"),
+                     "iter_cap", "ablate", "panel_unroll", "log_cap",
+                     "cycling", "cyc_max", "cyc_relax"),
 )
 def fused_active_set(
     A, lb, ub, ctr_type, stamp, next_stamp, x, v, Ax, n_fact,
-    it0=None,
+    it0=None, log_state=None, cyc_state=None,
     *, dims: Tuple[int, ...], tol_ld: float, tol_feas: float,
     tol_wrong: float, tol_correct: float, max_fact: int, deact_first: bool,
     prio, elig, d0: int = 0, var_idx: Tuple[int, ...] = (),
     tile: int = 8, interpret: bool = False, vmem_limit_mb: int = 0,
     iter_cap: int = 0, ablate: Tuple[str, ...] = (), panel_unroll: int = 1,
+    log_cap: int = 0, cycling: bool = False, cyc_max: int = 50,
+    cyc_relax: float = 1e-8,
 ):
     """Run the fused active-set loop on a batch (leading axis B).
 
@@ -675,6 +784,15 @@ def fused_active_set(
     ``elig`` are tuples-of-tuples (hashable) with the lambda sweep visit
     priorities / eligibility per objective (static, full-m).  Returns
     the tuple of final state arrays.
+
+    ``log_cap`` > 0 enables the in-kernel working-set log at that
+    capacity; ``cycling`` enables in-kernel cycling handling
+    (``cyc_max``/``cyc_relax`` = ParametersLexLSI's counter/step).
+    ``log_state`` = optional (obj, ctr, type, value, rank, cyc, len,
+    overflow) arrays and ``cyc_state`` = optional (counter, prev_op,
+    prev_row, prev_type) arrays to resume from (compaction phases);
+    both default to empty/initial.  The relaxed lb/ub working copies
+    and the log/cycling state are appended to the returned tuple.
 
     ``ablate`` is a PROFILING-ONLY hook (``tools/ablate_fused.py``):
     tokens statically skip kernel stages ("panel", "rpad", "gauss",
@@ -711,11 +829,37 @@ def fused_active_set(
         gplace_np[i, d0 + i] = 1.0
     vplace_arr = jnp.asarray(vplace_np, dtype)
     gplace_arr = jnp.asarray(gplace_np, dtype)
+    # constraint row -> (objective index, row-within-objective) for the
+    # working-set log (levels = optional bounds level + general levels)
+    lvlrow_np = np.zeros((2, m), np.int32)
+    fr_all = 0
+    for k, dk in enumerate(([d0] if d0 else []) + list(dims)):
+        lvlrow_np[0, fr_all:fr_all + dk] = k
+        lvlrow_np[1, fr_all:fr_all + dk] = np.arange(dk)
+        fr_all += dk
+    lvlrow_arr = jnp.asarray(lvlrow_np)
     ctx = (tuple(dims), tuple(offsets), n, m, d0, p, tol_ld, tol_feas,
            tol_wrong, tol_correct, max_fact, deact_first, iter_cap,
-           tuple(ablate), panel_unroll)
+           tuple(ablate), panel_unroll, log_cap, cycling, cyc_max,
+           cyc_relax)
     if it0 is None:
         it0 = jnp.zeros((B,), jnp.int32)
+    cap = max(log_cap, 1)
+    if log_state is None:
+        log_state = (jnp.zeros((B, cap), jnp.int32),
+                     jnp.zeros((B, cap), jnp.int32),
+                     jnp.zeros((B, cap), jnp.int32),
+                     jnp.zeros((B, cap), dtype),
+                     jnp.zeros((B, cap), jnp.int32),
+                     jnp.zeros((B, cap), jnp.int32),
+                     jnp.zeros((B, 1), jnp.int32),
+                     jnp.zeros((B, 1), jnp.int32))
+    if cyc_state is None:
+        cyc_state = (jnp.zeros((B, 1), jnp.int32),
+                     jnp.full((B, 1), int(OperationType.UNDEFINED),
+                              jnp.int32),
+                     jnp.full((B, 1), -1, jnp.int32),
+                     jnp.full((B, 1), -1, jnp.int32))
 
     tile = min(tile, B)
     assert B % tile == 0, (B, tile)
@@ -744,11 +888,29 @@ def fused_active_set(
         jax.ShapeDtypeStruct((B, p, Kmax, Kmax), dtype),  # final per-level R
         jax.ShapeDtypeStruct((B, n), jnp.int32),   # final positions
         jax.ShapeDtypeStruct((B, p), jnp.int32),   # final ranks
+        jax.ShapeDtypeStruct((B, m), dtype),       # lb (cycling-relaxed)
+        jax.ShapeDtypeStruct((B, m), dtype),       # ub (cycling-relaxed)
+        jax.ShapeDtypeStruct((B, cap), jnp.int32),  # log_obj
+        jax.ShapeDtypeStruct((B, cap), jnp.int32),  # log_ctr
+        jax.ShapeDtypeStruct((B, cap), jnp.int32),  # log_type
+        jax.ShapeDtypeStruct((B, cap), dtype),      # log_value
+        jax.ShapeDtypeStruct((B, cap), jnp.int32),  # log_rank
+        jax.ShapeDtypeStruct((B, cap), jnp.int32),  # log_cycling
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),    # log_len
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),    # log_overflow
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),    # cyc_counter
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),    # cyc_prev_op
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),    # cyc_prev_row
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),    # cyc_prev_type
     )
     out_specs = (
         bspec(n), bspec(m), bspec(n), bspec(m), bspec(m), bspec(m),
         bspec(m), bspec(m), bspec(1), bspec(1), bspec(1), bspec(1),
         bspec(1), bspec(1), bspec(p, Kmax, Kmax), bspec(n), bspec(p),
+        bspec(m), bspec(m),
+        bspec(cap), bspec(cap), bspec(cap), bspec(cap), bspec(cap),
+        bspec(cap), bspec(1), bspec(1),
+        bspec(1), bspec(1), bspec(1), bspec(1),
     )
     in_specs = [
         bspec(m, n), bspec(m), bspec(m), bspec(m), bspec(m), bspec(1),
@@ -760,6 +922,10 @@ def fused_active_set(
         pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((m - d0, m), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        bspec(cap), bspec(cap), bspec(cap), bspec(cap), bspec(cap),
+        bspec(cap), bspec(1), bspec(1),
+        bspec(1), bspec(1), bspec(1), bspec(1),
     ]
     mg = m - d0
     scratch = [
@@ -791,4 +957,4 @@ def fused_active_set(
         **kwargs,
     )(A, lb, ub, ctr_type, stamp, next_stamp[:, None], x, v, Ax,
       n_fact[:, None], it0[:, None], prio_arr, elig_arr, vmap_arr,
-      vplace_arr, gplace_arr)
+      vplace_arr, gplace_arr, lvlrow_arr, *log_state, *cyc_state)

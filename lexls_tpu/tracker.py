@@ -1045,7 +1045,7 @@ def solve_core_cold_tracked(
                 A, s.lb, s.ub, s.ctr_type, s.stamp, s.next_stamp, s.x, s.v,
                 s.Ax, s.n_fact, iter_cap=1, **kw)
             (x, v, dx, dv, Ax, Adx, ct, stamp, ns2, it, na, nd, nf,
-             status, rpadf, posf, ranksf) = outs
+             status, rpadf, posf, ranksf) = outs[:17]
             s1 = dataclasses.replace(
                 s, x=x, v=v, dx=dx, dv=dv, Ax=Ax, Adx=Adx, ctr_type=ct,
                 stamp=stamp, next_stamp=ns2[:, 0], it=it[:, 0],

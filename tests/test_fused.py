@@ -162,15 +162,123 @@ def test_fused_rejects_unsupported():
             jnp.ones((B, m), dt), c0, s0, n0, xz, v0,
             jnp.zeros((len(prob.dims),), dt))
     for bad in (
-        T.ParametersLexLSI(cycling_handling_enabled=True),
-        T.ParametersLexLSI(log_working_set_enabled=True),
         T.ParametersLexLSI(trace_enabled=True),
+        T.ParametersLexLSI(use_phase1_v0=True),
         T.ParametersLexLSI(regularization_type=T.RegularizationType.TIKHONOV),
     ):
         with pytest.raises(T.LexLSError):
             jli.solve_core_fused(
                 *args, struct=struct, params=bad, x_guess_specified=False,
                 v0_specified=False, interpret=True)
+
+
+def _assert_log_match(ref, fus, seed=""):
+    for f in ("log_obj", "log_ctr", "log_type", "log_rank", "log_len",
+              "log_overflow", "log_cycling"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fus, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"{seed}:{f}")
+    np.testing.assert_allclose(np.asarray(fus.log_value),
+                               np.asarray(ref.log_value), atol=1e-9,
+                               err_msg=f"{seed}:log_value")
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fused_working_set_log(trial):
+    """In-kernel working-set log (VERDICT r3 item 5): entry-for-entry
+    equality with the XLA tier's log across shapes that add AND remove
+    constraints."""
+    rng = np.random.default_rng(500 + trial)
+    n = int(rng.integers(6, 12))
+    dims = [int(rng.integers(2, 6)) for _ in range(int(rng.integers(2, 4)))]
+    simple = trial % 2 == 1 and dims[0] <= n
+    prob = gen.random_inequality_hierarchy(
+        rng, n, dims, equality_fraction=0.1,
+        tight_fraction=0.5 + 0.2 * rng.random(), simple_bounds=simple)
+    params = T.ParametersLexLSI(max_number_of_factorizations=60,
+                                log_working_set_enabled=True)
+    ref, fus = _run_pair(prob, params, B=3, rng=rng)
+    assert int(np.asarray(ref.log_len).sum()) > 0
+    _assert_match(ref, fus, trial)
+    _assert_log_match(ref, fus, trial)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fused_cycling_state(trial):
+    """In-kernel cycling handling: the detector state (counter +
+    previous op/row/type) and relaxed bounds must match the XLA tier on
+    add/remove-heavy trajectories (actual cycles are rare; the detector
+    state equality covers the common path, test_fused_cycling_relax
+    covers a forced cycle)."""
+    rng = np.random.default_rng(700 + trial)
+    n = int(rng.integers(6, 12))
+    dims = [int(rng.integers(2, 6)) for _ in range(int(rng.integers(2, 4)))]
+    prob = gen.random_inequality_hierarchy(
+        rng, n, dims, equality_fraction=0.1,
+        tight_fraction=0.5 + 0.2 * rng.random())
+    params = T.ParametersLexLSI(max_number_of_factorizations=60,
+                                cycling_handling_enabled=True,
+                                log_working_set_enabled=True)
+    ref, fus = _run_pair(prob, params, B=3, rng=rng)
+    _assert_match(ref, fus, trial)
+    _assert_log_match(ref, fus, trial)
+    for f in ("cyc_counter", "cyc_prev_op", "cyc_prev_row", "cyc_prev_type"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fus, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"{trial}:{f}")
+    np.testing.assert_allclose(np.asarray(fus.lb), np.asarray(ref.lb),
+                               atol=0, err_msg=str(trial))
+    np.testing.assert_allclose(np.asarray(fus.ub), np.asarray(ref.ub),
+                               atol=0, err_msg=str(trial))
+
+
+def test_fused_cycling_relax():
+    """A degenerate problem engineered to re-add a just-removed
+    constraint must trigger the SAME relaxation (lb/ub perturbed by
+    cycling_relax_step, counter incremented, log entry flagged) in the
+    kernel as in the XLA tier."""
+    found = None
+    for seed in range(60):
+        rng = np.random.default_rng(31000 + seed)
+        n = int(rng.integers(4, 9))
+        dims = [int(rng.integers(2, 6)) for _ in range(int(rng.integers(2, 4)))]
+        prob = gen.random_inequality_hierarchy(
+            rng, n, dims, equality_fraction=0.2, tight_fraction=0.8)
+        params = T.ParametersLexLSI(max_number_of_factorizations=60,
+                                    cycling_handling_enabled=True,
+                                    log_working_set_enabled=True)
+        struct = jli.Structure.of(prob)
+        dt = jnp.float64
+        m = prob.n_ctr
+        c0, s0, n0, xz, v0 = batched_initial_arrays(prob, 1, dt)
+        As = jnp.asarray(prob.A[None], dt)
+        lbs = jnp.asarray(prob.lb[None], dt)
+        ubs = jnp.asarray(prob.ub[None], dt)
+        reg = jnp.asarray(prob.regularization, dt)
+        ref = solve_batched(As, lbs, ubs, c0, s0, n0, xz, v0, reg,
+                            struct=struct, params=params,
+                            x_guess_specified=False)
+        if int(np.asarray(ref.cyc_counter)[0]) > 0:
+            found = (prob, params, As, lbs, ubs, c0, s0, n0, xz, v0, reg,
+                     struct, ref)
+            break
+    if found is None:
+        pytest.skip("no cycling trajectory found in the seed sweep")
+    (prob, params, As, lbs, ubs, c0, s0, n0, xz, v0, reg, struct,
+     ref) = found
+    fus = jli.solve_core_fused(
+        As, lbs, ubs, c0, s0, n0, xz, v0, reg, struct=struct,
+        params=params, x_guess_specified=False, v0_specified=False,
+        tile=1, interpret=True)
+    assert int(np.asarray(fus.cyc_counter)[0]) > 0
+    _assert_match(ref, fus, "cyc")
+    _assert_log_match(ref, fus, "cyc")
+    np.testing.assert_allclose(np.asarray(fus.lb), np.asarray(ref.lb),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(fus.ub), np.asarray(ref.ub),
+                               atol=0)
+    np.testing.assert_array_equal(np.asarray(fus.cyc_counter),
+                                  np.asarray(ref.cyc_counter))
 
 
 def test_fused_simple_bounds():
