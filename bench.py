@@ -88,6 +88,10 @@ def main():
     # tracked mode: full-batch tracker trips before the fused-kernel
     # handover absorbs the straggler tail (0 = unbounded)
     loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 0))
+    # tracked mode: first-order re-orthonormalization passes (the
+    # analytic rank-1 pre-step handles the working-set spike; one pass
+    # contracts 1e-3 drift to ~1e-6 — within cert_tol)
+    ns_iters = int(os.environ.get("LEXLS_BENCH_NS_ITERS", 2))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -151,7 +155,7 @@ def main():
                 struct=struct, params=params, tile=tile,
                 interpret=not on_tpu, vmem_limit_mb=vmem_mb,
                 compact=compact, tile_b=tile_b,
-                compact_rounds=compact_rounds)
+                compact_rounds=compact_rounds, ns_iters=ns_iters)
 
             def step_t(carry, drift_t):
                 x, ct, car = carry
@@ -162,7 +166,8 @@ def main():
                     struct=struct, params=params, tile=tile,
                     interpret=not on_tpu, vmem_limit_mb=vmem_mb,
                     compact=compact, tile_b=tile_b,
-                    compact_rounds=compact_rounds, loop_cap=loop_cap)
+                    compact_rounds=compact_rounds, loop_cap=loop_cap,
+                    ns_iters=ns_iters)
                 return (st.x, st.ctr_type, car), (st.status, st.it)
 
             (x, ct, _), (statuses, its) = lax.scan(
@@ -243,7 +248,7 @@ def main():
     mfu = mfu_report(rate, n_var, dims, warm_it_sum / warm_count)
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
           f"tile={tile} compact={compact}x{compact_rounds} tile_b={tile_b} "
-          f"unroll={panel_unroll} loop_cap={loop_cap} "
+          f"unroll={panel_unroll} loop_cap={loop_cap} ns={ns_iters} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

@@ -96,7 +96,10 @@ def bench_inequality_cold():
 
     dtype = jnp.float32
     on_tpu = jax.devices()[0].platform == "tpu"
-    B = 256 if on_tpu else 4
+    # cold solves are iteration-bound: the batch pays ~max-iters full
+    # trips whatever B is, so throughput scales with B until the trip
+    # cost stops being latency-bound (see docs/performance.md)
+    B = int(os.environ.get("LEXLS_BENCH_COLD_B", 1024 if on_tpu else 4))
     rng = np.random.default_rng(0)
     prob = gen.random_inequality_hierarchy(
         rng, 88, [44, 44], equality_fraction=0.05, tight_fraction=0.3)

@@ -254,7 +254,10 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
     tol_ld = params.tol_linear_dependence
     big = jnp.iinfo(jnp.int32).max
 
-    block = jnp.concatenate([Ag, bg[:, :, None]], axis=2)     # (B, mg, n+1)
+    # `rest` carries only the not-yet-processed rows: rows above the
+    # current level are never re-read, so re-concatenating the full
+    # (B, mg, n+1) block per level would be pure HBM traffic
+    rest = jnp.concatenate([Ag, bg[:, :, None]], axis=2)      # (B, mg, n+1)
     iota_k = jnp.arange(K, dtype=jnp.int32)
     iota_n = jnp.arange(n, dtype=jnp.int32)
     ok = jnp.ones((B,), bool)
@@ -290,7 +293,8 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         hot = ((pos[:, None, :] == fc_k[:, None, None] + iota_k[None, :, None])
                & live[:, :, None]).astype(dtype)               # (B, K, n)
 
-        lvl = block[:, fr:fr + dim, :]                         # (B, dim, n+1)
+        lvl = rest[:, :dim, :]                                 # (B, dim, n+1)
+        rest = rest[:, dim:, :]
         P0 = jnp.einsum("bdn,bkn->bdk", lvl[:, :, :n], hot, precision=hp)
         rinv_k = rinv[:, k]
         M = jnp.matmul(P0, rinv_k, precision=hp)               # (B, dim, K)
@@ -459,13 +463,11 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         # Gauss elimination of all lower-priority rows
         # (``lexlse.h:431-471``): L = B_P R^{-1}; applying the full
         # R-frame rows W cancels the pivot columns exactly
-        below = block[:, fr + dim:, :]
-        below_p = jnp.einsum("bmn,bkn->bmk", below[:, :, :n], hot,
+        below_p = jnp.einsum("bmn,bkn->bmk", rest[:, :, :n], hot,
                              precision=hp)
         Lp = jnp.matmul(below_p, rinv_new, precision=hp)
-        if below.shape[1]:
-            below = below - jnp.matmul(Lp, W, precision=hp)
-            block = jnp.concatenate([block[:, : fr + dim], below], axis=1)
+        if rest.shape[1]:
+            rest = rest - jnp.matmul(Lp, W, precision=hp)
 
         stash.append((hot, Q, W, rinv_new, Lp, c_orig, b_lvl, lam_floor))
         rinv_out.append(rinv_new)
