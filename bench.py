@@ -88,6 +88,12 @@ def main():
     # tracked mode: full-batch tracker trips before the fused-kernel
     # handover absorbs the straggler tail (0 = unbounded)
     loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 0))
+    # tracked mode: pyramid slab sizes (comma-separated, e.g. "192,96")
+    # — compact stragglers to shrinking leading slabs instead of paying
+    # E[max iters] full-width trips (tracker.py _tracked_tail)
+    shrink = tuple(
+        int(z) for z in os.environ.get("LEXLS_BENCH_SHRINK", "").split(",")
+        if z.strip())
     # tracked mode: first-order re-orthonormalization passes (the
     # analytic rank-1 pre-step handles the working-set spike; one pass
     # contracts 1e-3 drift to ~1e-6 — within cert_tol)
@@ -167,7 +173,7 @@ def main():
                     interpret=not on_tpu, vmem_limit_mb=vmem_mb,
                     compact=compact, tile_b=tile_b,
                     compact_rounds=compact_rounds, loop_cap=loop_cap,
-                    ns_iters=ns_iters)
+                    ns_iters=ns_iters, shrink=shrink)
                 return (st.x, st.ctr_type, car), (st.status, st.it)
 
             (x, ct, _), (statuses, its) = lax.scan(
@@ -249,6 +255,7 @@ def main():
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
           f"tile={tile} compact={compact}x{compact_rounds} tile_b={tile_b} "
           f"unroll={panel_unroll} loop_cap={loop_cap} ns={ns_iters} "
+          f"shrink={shrink} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

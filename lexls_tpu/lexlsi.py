@@ -898,7 +898,9 @@ def _permute_rows(arr, hot):
     one-hot matmul moves the same data in ~0.1 ms and is EXACT: with 0/1
     weights at HIGHEST precision every product is a representable value
     or zero.  Integer arrays round-trip through f32 (all carried ints
-    are far below 2**24)."""
+    are far below 2**24).  ``hot`` may be RECTANGULAR (rows, B): a
+    gather of `rows` instances (the tracker pyramid's slab compaction
+    permutes head and tail slabs separately)."""
     flat = arr.reshape(arr.shape[0], -1)
     if jnp.issubdtype(arr.dtype, jnp.integer) or arr.dtype == bool:
         out = jnp.dot(hot, flat.astype(jnp.float32),
@@ -907,7 +909,7 @@ def _permute_rows(arr, hot):
     else:
         out = jnp.dot(hot.astype(arr.dtype), flat,
                       precision=lax.Precision.HIGHEST)
-    return out.reshape(arr.shape)
+    return out.reshape((hot.shape[0],) + arr.shape[1:])
 
 
 def _fused_tail(A, s: LexLSIState, it0, *, struct: Structure,

@@ -622,7 +622,7 @@ def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
     static_argnames=("struct", "params", "tile", "interpret",
                      "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
                      "compact_rounds", "ns_iters", "cert_tol", "ext_steps",
-                     "loop_cap"),
+                     "loop_cap", "shrink"),
 )
 def solve_core_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -632,7 +632,7 @@ def solve_core_tracked(
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
     ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
-    reg=None, loop_cap: int = 0,
+    reg=None, loop_cap: int = 0, shrink: tuple = (),
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
 
@@ -661,6 +661,13 @@ def solve_core_tracked(
     per-TILE early exit prices stragglers better than a full-batch trip
     — the batch pays E[max iterations] trips otherwise, a heavy tail:
     warm mean 1.34 but max ~5 at B=384 on the north-star bench).
+
+    ``shrink`` (static tuple of strictly decreasing slab sizes < B)
+    runs the loop as a pyramid: one full-width trip, then compact the
+    alive stragglers to a leading slab of each size (one-hot MXU
+    permutes) and trip only the slab — see :func:`_tracked_tail`.
+    Results are slab-size independent (overflow falls into the fused
+    kernel).
     """
     _check_tracked_config(params, reg, "solve_core_tracked")
     with jax.default_matmul_precision("float32"):
@@ -675,6 +682,7 @@ def solve_core_tracked(
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
         cert_tol=cert_tol, ext_steps=ext_steps, loop_cap=loop_cap,
+        shrink=shrink,
         reg=None if params.regularization_type == RegularizationType.NONE
         else reg)
 
@@ -733,7 +741,7 @@ def _xla_tail(A, s, reg, struct: Structure, params: ParametersLexLSI):
 def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                   interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
                   compact_rounds, ns_iters, cert_tol, ext_steps, reg=None,
-                  chg0=None, loop_cap: int = 0):
+                  chg0=None, loop_cap: int = 0, shrink: tuple = ()):
     """The tracker while-loop + kernel handover, from an already-built
     batched state (phase 1 done, or a mid-solve state from a capped
     kernel phase — the cold-start driver).
@@ -746,7 +754,20 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
     remaining alive instances fall into the fused kernel, whose per-TILE
     early exit prices stragglers far better than this full-batch loop
     (the handover argsort already clusters them into the leading
-    tiles)."""
+    tiles).
+
+    ``shrink`` (static, strictly decreasing slab sizes < B) runs the
+    loop as a PYRAMID instead of a fixed-width while: one trip at full
+    B (every warm solve needs at least one), then for each size compact
+    the still-alive instances to the front (one-hot MXU permutes — a
+    row-gather is ~10 us/row on TPU) and run one trip on that leading
+    slab only, finishing with the unbounded while on the smallest slab.
+    A full-width loop pays E[max iterations over B] trips (warm mean
+    1.34 but max ~5: the tail runs the whole batch); the pyramid pays
+    full width exactly once.  Alive instances that do not fit a slab
+    (more stragglers than the static size) are marked ``fall`` and
+    finish in the fused kernel — slab sizing affects only speed, never
+    results."""
     B, m, n = A.shape
     p = len(struct.lexlse_dims)
     d0 = struct.d0
@@ -778,7 +799,18 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 return any_alive & (trip < loop_cap)
             return any_alive
 
-        def body(carry):
+        def make_body(A_s):
+            """The tracker trip over a (leading) slab: ``A_s`` fixes the
+            slab's batch width; the same math runs at every pyramid
+            level (per-instance reductions only — results are
+            independent of slab width)."""
+            Bs = A_s.shape[0]
+
+            def body(carry):
+                return _body_impl(carry, A_s, Bs)
+            return body
+
+        def _body_impl(carry, A, B):
             s, rinv_c, pos_c, ranks_c, fall, chg_hot, chg_sign, trip = carry
             alive = alive_of(s, fall)
 
@@ -895,13 +927,66 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             chg_sign0 = jnp.zeros((B, 1), jnp.float32)
         else:
             chg_hot0, chg_sign0 = chg0
-        s, rinv_c, pos_c, ranks_c, fall, _, _, _ = lax.while_loop(
-            cond, body,
-            (s0, carried.rinv, carried.pos, carried.ranks, fall0,
-             chg_hot0, chg_sign0, jnp.zeros((), jnp.int32)))
-        if loop_cap:
-            # capped out while still alive: finish in the fused kernel
-            fall = fall | alive_of(s, fall)
+        carry0 = (s0, carried.rinv, carried.pos, carried.ranks, fall0,
+                  chg_hot0, chg_sign0, jnp.zeros((), jnp.int32))
+        if shrink:
+            sizes = tuple(int(z) for z in shrink)
+            if any(z <= 0 for z in sizes) or \
+                    any(a <= b for a, b in zip((B,) + sizes, sizes)):
+                raise LexLSError(
+                    f"shrink sizes must be strictly decreasing and < B: "
+                    f"{sizes} (B={B})")
+            # trip 1 at full width (every warm solve factorizes at least
+            # once), then compact-and-shrink one trip per slab size
+            carry = make_body(A)(carry0)
+            stack = []
+            A_cur = A
+            for sz in sizes:
+                (s_c, rinv_c, pos_c, ranks_c, fall_c, chg_hot_c,
+                 chg_sign_c, trip_c) = carry
+                Bc = A_cur.shape[0]
+                alive = alive_of(s_c, fall_c)
+                order = jnp.argsort(jnp.logical_not(alive))
+                iota_b = jnp.arange(Bc, dtype=jnp.int32)
+                hot = (order[:, None] == iota_b[None, :]).astype(
+                    jnp.float32)                                # (Bc, Bc)
+                hot_h, hot_t = hot[:sz], hot[sz:]
+                gh = lambda arr: _permute_rows(arr, hot_h)
+                gt = lambda arr: _permute_rows(arr, hot_t)
+                head = jax.tree_util.tree_map(
+                    gh, (s_c, rinv_c, pos_c, ranks_c, fall_c,
+                         chg_hot_c, chg_sign_c))
+                tail = jax.tree_util.tree_map(
+                    gt, (s_c, rinv_c, pos_c, ranks_c, fall_c))
+                # overflow: a straggler that did not fit the slab
+                # finishes in the fused kernel (correctness is
+                # slab-size independent)
+                tail = tail[:4] + (
+                    tail[4] | alive_of(tail[0], tail[4]),)
+                stack.append((hot, tail))
+                A_cur = _permute_rows(A_cur, hot_h)
+                carry = make_body(A_cur)(head + (trip_c,))
+            # unbounded finish on the smallest slab (loop_cap still
+            # bounds total trips if set)
+            carry = lax.while_loop(cond, make_body(A_cur), carry)
+            s, rinv_c, pos_c, ranks_c, fall = carry[:5]
+            if loop_cap:
+                fall = fall | alive_of(s, fall)
+            # unwind: re-attach each level's parked tail and invert the
+            # compaction permutation (hot is orthogonal: inverse = hotT)
+            for hot, tail in reversed(stack):
+                merged = jax.tree_util.tree_map(
+                    lambda h, t: jnp.concatenate([h, t], axis=0),
+                    (s, rinv_c, pos_c, ranks_c, fall), tail)
+                hot_t_inv = hot.T
+                s, rinv_c, pos_c, ranks_c, fall = jax.tree_util.tree_map(
+                    lambda arr: _permute_rows(arr, hot_t_inv), merged)
+        else:
+            s, rinv_c, pos_c, ranks_c, fall, _, _, _ = lax.while_loop(
+                cond, make_body(A), carry0)
+            if loop_cap:
+                # capped out while still alive: finish in the fused kernel
+                fall = fall | alive_of(s, fall)
 
         # --- fallback handover: fallen instances continue from their
         # current state.  Without regularization the fused Pallas kernel

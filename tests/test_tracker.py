@@ -33,7 +33,7 @@ def _level_norms(v, struct):
     return np.stack(out, axis=1)
 
 
-def _drive(trial, kicks, B=8, loop_cap=0):
+def _drive(trial, kicks, B=8, loop_cap=0, shrink=()):
     rng = np.random.default_rng(900 + trial)
     n = int(rng.integers(6, 14))
     p = int(rng.integers(2, 5))
@@ -85,7 +85,7 @@ def _drive(trial, kicks, B=8, loop_cap=0):
         stt, carried = tracker.solve_core_tracked(
             A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
             struct=struct, params=params, tile=B, interpret=True,
-            loop_cap=loop_cap)
+            loop_cap=loop_cap, shrink=shrink)
         np.testing.assert_array_equal(
             np.asarray(stt.status), np.asarray(ref.status),
             err_msg=f"trial {trial} step {t}")
@@ -242,6 +242,27 @@ def test_tracked_loop_cap_handover(trial, cap):
     XLA tier regardless of where the handover lands.  Large kicks force
     multi-iteration solves so the cap actually binds."""
     _drive(trial, kicks=(0.05, 0.3, 0.05), loop_cap=cap)
+
+
+@pytest.mark.parametrize("trial,shrink", [
+    (0, (4, 2)), (1, (4,)), (2, (6, 3, 1)), (3, (2,)),
+])
+def test_tracked_pyramid_shrink(trial, shrink):
+    """Pyramid compaction: after the full-width trip, stragglers run on
+    shrinking leading slabs (one-hot MXU permutes).  Results must be
+    slab-size independent — including the deliberately undersized
+    shrink=(2,) where overflow stragglers spill into the fused kernel.
+    Large kicks force multi-iteration solves so every pyramid level and
+    the unwind path actually execute."""
+    _drive(trial, kicks=(0.05, 0.3, 0.05), shrink=shrink)
+
+
+@pytest.mark.parametrize("trial,shrink,cap", [(1, (4, 2), 3), (2, (4,), 2)])
+def test_tracked_pyramid_with_loop_cap(trial, shrink, cap):
+    """Pyramid + loop_cap compose: the cap bounds total trips across
+    pyramid levels and the finishing while-loop; capped-out slab
+    instances take the fused-kernel handover."""
+    _drive(trial, kicks=(0.05, 0.3, 0.05), loop_cap=cap, shrink=shrink)
 
 
 def test_tracked_lambda_noise_floor_regression():
