@@ -133,7 +133,8 @@ def carried_from_lexqr(f, struct: Structure) -> Carried:
     return bootstrap_carried((rpad, pos, f.ranks))
 
 
-def _orthonormalize_z(G: jax.Array, live2, passes: int, u=None, s1=None):
+def _orthonormalize_z(G: jax.Array, live2, passes: int, u=None, s1=None,
+                      us=None):
     """Z (upper triangular) with (MZ)ᵀ(MZ) = I given G = MᵀM — Cholesky
     free, with an orthogonality certificate.
 
@@ -162,23 +163,45 @@ def _orthonormalize_z(G: jax.Array, live2, passes: int, u=None, s1=None):
 
     Z triangular throughout keeps diag(R) = 1/diag(Z_total) the prefix
     pivot norms for the acceptance test.  Returns ``(Z, cert)`` with
-    cert = max|ZᵀGZ − I| (B,)."""
+    cert = max|ZᵀGZ − I| (B,).
+
+    ``us`` (optional, supersedes ``u``/``s1``): a list of ``(u, s)``
+    rank-1 terms applied SEQUENTIALLY — G = I + Σ sᵢuᵢuᵢᵀ + O(drift).
+    Each uᵢ is given in the ORIGINAL carried frame; the accumulated Zᵀ
+    transforms it into the current frame before its closed-form
+    absorption (Z₁ᵀ(I + s₁u₁u₁ᵀ + s₂u₂u₂ᵀ)Z₁ = I + s₂u₂'u₂'ᵀ with
+    u₂' = Z₁ᵀu₂).  Zero terms are exact no-ops.  This is how a
+    working-set change's effect on LOWER levels is absorbed: the
+    changed pivot's Gauss elimination is a rank-1 row update of every
+    level below, whose carried-frame Gram perturbation
+    s(gvᵀ + vgᵀ) − βvvᵀ splits into three signed rank-1s
+    ((g±v)/√2 and √β·v)."""
     K = G.shape[-1]
     eye = jnp.eye(K, dtype=G.dtype)
     Gz = jnp.where(live2 > 0, G, eye)
-    if u is not None:
+    if us is None:
+        us = [] if u is None else [(u, s1)]
+    if us:
         hp = lax.Precision.HIGHEST
-        uu = u * u
-        t = 1.0 + s1 * jnp.cumsum(uu, axis=-1)                 # (B, K)
-        t0 = jnp.concatenate(
-            [jnp.ones_like(t[..., :1]), t[..., :-1]], axis=-1)
-        dinv = jnp.sqrt(t0 / t)     # NaN on t <= 0 (rank loss) — wanted
-        w = u / jnp.sqrt(jnp.abs(t * t0) + jnp.finfo(G.dtype).tiny) \
-            * jnp.sign(t * t0)
-        Z = (eye * dinv[..., None, :]
-             - s1[..., None] * jnp.triu(u[..., :, None] * w[..., None, :],
-                                        k=1))
-        Z = Z * live2 + eye * (1.0 - live2)
+        Z = None
+        for u_i, s_i in us:
+            if Z is not None:
+                # express in the current (partially absorbed) frame
+                u_i = jnp.einsum("...ij,...i->...j", Z, u_i, precision=hp)
+            uu = u_i * u_i
+            t = 1.0 + s_i * jnp.cumsum(uu, axis=-1)            # (B, K)
+            t0 = jnp.concatenate(
+                [jnp.ones_like(t[..., :1]), t[..., :-1]], axis=-1)
+            # NaN on t <= 0 (rank loss) — wanted: the cert fails
+            dinv = jnp.sqrt(t0 / t)
+            w = u_i / jnp.sqrt(jnp.abs(t * t0)
+                               + jnp.finfo(G.dtype).tiny) \
+                * jnp.sign(t * t0)
+            Zi = (eye * dinv[..., None, :]
+                  - s_i[..., None] * jnp.triu(
+                      u_i[..., :, None] * w[..., None, :], k=1))
+            Zi = Zi * live2 + eye * (1.0 - live2)
+            Z = Zi if Z is None else (Z @ Zi) * live2 + eye * (1.0 - live2)
         Gz = jnp.swapaxes(Z, -1, -2) @ Gz @ Z
         Gz = jnp.where(live2 > 0, Gz, eye)
     else:
@@ -192,6 +215,90 @@ def _orthonormalize_z(G: jax.Array, live2, passes: int, u=None, s1=None):
         Gz = jnp.where(live2 > 0, Gz, eye)
         cert = jnp.max(jnp.abs(Gz - eye), axis=(-2, -1))
     return Z, cert
+
+
+def _pack_tree(tree, fdtype):
+    """Flatten a pytree of (B, ...) arrays into ONE (B, F) buffer of
+    ``fdtype`` plus the static spec to invert it.  One batched permute
+    of the buffer then moves the whole tree (the pyramid's per-leaf
+    one-hot matmuls were ~90 ops per level — op-issue bound, measured
+    to erase the compaction win).  Integer/bool leaves round-trip
+    exactly (all carried ints are far below 2**24; float leaves are
+    already ``fdtype``)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols, spec = [], []
+    for leaf in leaves:
+        flat = leaf.reshape(leaf.shape[0], -1)
+        spec.append((leaf.shape[1:], leaf.dtype, flat.shape[1]))
+        cols.append(flat.astype(fdtype))
+    return jnp.concatenate(cols, axis=1), (treedef, tuple(spec))
+
+
+def _unpack_tree(buf, meta):
+    treedef, spec = meta
+    leaves, ofs = [], 0
+    B = buf.shape[0]
+    for shape, dtype, w in spec:
+        piece = lax.slice_in_dim(buf, ofs, ofs + w, axis=1)
+        ofs += w
+        if jnp.issubdtype(dtype, jnp.integer) or dtype == bool:
+            piece = jnp.round(piece).astype(dtype)
+        else:
+            piece = piece.astype(dtype)
+        leaves.append(piece.reshape((B,) + shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _lvl_map_of(struct: Structure):
+    """Static level-of-row map over the general (post-bounds) rows."""
+    offsets, ofs = [], 0
+    for d in struct.lexlse_dims:
+        offsets.append(ofs)
+        ofs += d
+    lvl_map_np = np.zeros((max(struct.m - struct.d0, 1),), np.int32)
+    for k, (fr, dim) in enumerate(zip(offsets, struct.lexlse_dims)):
+        lvl_map_np[fr:fr + dim] = k
+    return jnp.asarray(lvl_map_np, jnp.float32)
+
+
+def _delete_last_pivot(pos, ranks, row_hot_g, struct: Structure):
+    """Carried-state bookkeeping for a committed REMOVAL: drop the
+    removed row's level's LAST pivot.
+
+    Removing a row from a full-row-rank level drops its rank; keeping
+    the stale pivot makes the next trip's closed-form Gram downdate
+    singular by construction (t <= 0 -> NaN cert -> kernel fall).
+    Carrying rank-1 makes the downdate operate on the reduced pivot
+    prefix (generically well-conditioned; the orthogonal corner case
+    still falls via the cert).  If the removal did NOT drop the true
+    rank (a deficient level), the greedy extension re-adds the best
+    pivot next trip.  Deleting the LAST slot keeps ``pos`` consistent
+    with a single list-deletion renumber: shift every later position
+    down, send the deleted pivot's column to position n-1 (freed by
+    the shift).
+
+    ``row_hot_g`` (B, m-d0) float one-hot of the removed general row
+    (all-zero rows = no removal, returned unchanged)."""
+    p = len(struct.lexlse_dims)
+    n = struct.n_var
+    lvl_map = _lvl_map_of(struct)
+    is_gen = jnp.sum(row_hot_g, axis=1) > 0
+    lv = jnp.round(jnp.einsum("bm,m->b", row_hot_g, lvl_map)
+                   ).astype(jnp.int32)
+    onehot_lv = (jnp.arange(p, dtype=jnp.int32)[None, :]
+                 == lv[:, None])                                # (B, p)
+    rank_lv = jnp.sum(jnp.where(onehot_lv, ranks, 0), axis=1,
+                      dtype=jnp.int32)
+    can_del = is_gen & (rank_lv > 0)
+    fcs = jnp.cumsum(ranks, axis=1, dtype=jnp.int32) - ranks
+    fc_lv = jnp.sum(jnp.where(onehot_lv, fcs, 0), axis=1,
+                    dtype=jnp.int32)
+    del_slot = fc_lv + rank_lv - 1
+    ranks = ranks - (onehot_lv & can_del[:, None]).astype(jnp.int32)
+    sel_del = (pos == del_slot[:, None]) & can_del[:, None]
+    shift = (pos > del_slot[:, None]) & can_del[:, None]
+    pos = jnp.where(sel_del, n - 1, pos - shift.astype(jnp.int32))
+    return pos, ranks
 
 
 def _chol_solve_masked(D, d, act):
@@ -236,15 +343,32 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
     level ``(hot, Q, W, rinv_new, Lp)``; pos/ranks/rinv_out reflect the
     extensions.
 
-    ``chg`` (optional) = ``(a_row, lv, sgn)``: the single constraint row
-    whose activation state changed since the carried factorization —
-    its (fixed-eliminated) coefficients (B, n), its level (B, 1) int32
-    (−1 none), and the Gram sign (B, 1) float (+1 activated, −1
-    removed).  The changed level's re-orthonormalization then absorbs
-    the rank-1 Gram spike analytically (:func:`_orthonormalize_z`);
-    without it the first-order passes only contract drift-sized
-    perturbations and a working-set change would fall back to the exact
-    tier every iteration."""
+    ``chg`` (optional) = ``(a_row, row_hot, lv, sgn, c_rm, w_rm)``: the
+    single constraint row whose activation state changed since the
+    carried factorization — its (fixed-eliminated) coefficients (B, n),
+    its one-hot over the general rows (B, mg), its level (B, 1) int32
+    (−1 none), the Gram sign (B, 1) float (+1 activated, −1 removed),
+    and — for removals — the change's Gauss elimination column over the
+    general rows (B, mg) and its W row (B, n+1), saved by the
+    committing trip.
+
+    The changed level's re-orthonormalization absorbs the rank-1 Gram
+    spike analytically (:func:`_orthonormalize_z`).  Levels BELOW the
+    change see the Gauss elimination change by EXACTLY rank one: with 5
+    old pivots and a 6th appearing, the per-column elimination
+    coefficients y_c (square exact solves) change along the kernel
+    direction k̂ of the OLD rows' 5×6 system, and k̂ = R⁻¹·z with
+    z = Q[r, :] the changed ROW's Q-frame coordinates — so
+    Δ(elimination) = (Lp·z)(W[slot, :])ᵀ / z_slot, all available from
+    the factorization that held the pivot (in-trip for an activation's
+    extension pivot; saved at the committing trip for a removal).  The
+    resulting carried-frame Gram perturbation of each lower level,
+    s(gvᵀ + vgᵀ) − βvvᵀ (g = Mᵀc, v = (w·hotᵀ)·rinv, β = cᵀc, s = −1
+    activation / +1 removal), is absorbed as three sequential
+    closed-form rank-1s with geometric-mean balancing.  Without the
+    below-level absorption EVERY working-set change fell back to the
+    exact kernel (round-4 TPU diagnosis, tools/trk_stats.py: per-level
+    cert bits strictly below the changed level)."""
     dims = struct.lexlse_dims
     p = len(dims)
     n = struct.n_var
@@ -261,6 +385,10 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
     iota_k = jnp.arange(K, dtype=jnp.int32)
     iota_n = jnp.arange(n, dtype=jnp.int32)
     ok = jnp.ones((B,), bool)
+    # diagnosis bitmask (returned for tools/trk_stats.py): which
+    # acceptance rule rejected, per level — bits (3k, 3k+1, 3k+2) =
+    # level k's cert / pivot-norm / trailing-column
+    why = jnp.zeros((B,), jnp.int32)
 
     offsets = []
     ofs = 0
@@ -275,6 +403,11 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
     ranks_out = []
     hp = lax.Precision.HIGHEST
     eye = jnp.eye(K, dtype=dtype)
+    if chg is not None:
+        # the changed pivot's elimination column (global general-row
+        # frame) and W row: seeded from the removal carry; overwritten
+        # in-trip at the activation's level by the extension pivot
+        c_glob, w_cur = chg[4], chg[5]
     # accumulated nullspace basis for the regularizers (physical frame on
     # BOTH axes: rows = eliminated variables, columns = variables; the
     # identity block of Z_k is implicit — ``lexlse.h:2592-2625``)
@@ -301,17 +434,51 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         G = jnp.einsum("bdi,bdj->bij", M, M, precision=hp)
         Gt = jnp.where(live2, G, eye)
         if chg is not None:
-            a_row, lv, sgn = chg
+            a_row, row_hot, lv, sgn = chg[:4]
             is_lvl = (lv == k).astype(dtype)                   # (B, 1)
             aP = jnp.einsum("bn,bkn->bk", a_row, hot, precision=hp)
-            u_k = jnp.einsum("bk,bkj->bj", aP, rinv_k,
-                             precision=hp) * is_lvl            # (B, K)
+            # mask by the carried live slots: after a pivot deletion the
+            # stale rinv column inside the old live range would leak a
+            # spurious u entry at the dead slot
+            livef = live.astype(dtype)
+            u_k = (jnp.einsum("bk,bkj->bj", aP, rinv_k, precision=hp)
+                   * is_lvl * livef)                           # (B, K)
             s1_k = sgn * is_lvl
+            # --- below-level absorption: the changed pivot's Gauss
+            # elimination is a rank-1 row update of this level when the
+            # change happened ABOVE it (c_glob is zero otherwise —
+            # self-gating: an activation's column covers only rows
+            # below its level, a removal's carried column likewise)
+            c_k = lax.slice_in_dim(c_glob, fr, fr + dim, axis=1)
+            w_hot = jnp.einsum("bc,bkc->bk", w_cur[:, :n], hot,
+                               precision=hp)
+            v_b = jnp.einsum("bk,bkj->bj", w_hot, rinv_k,
+                             precision=hp) * livef             # (B, K)
+            g_b = jnp.einsum("bdk,bd->bk", M, c_k,
+                             precision=hp) * livef             # (B, K)
+            beta = jnp.sum(c_k * c_k, axis=1, keepdims=True)   # (B, 1)
+            # geometric-mean balancing keeps the intermediate rank-1
+            # factors at the true perturbation scale sqrt(|g||v|) so a
+            # large-|g|, small-|v| update cannot spuriously NaN the
+            # sequential downdate
+            tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+            ng = jnp.linalg.norm(g_b, axis=1, keepdims=True)
+            nv = jnp.linalg.norm(v_b, axis=1, keepdims=True)
+            alpha = jnp.sqrt((nv + tiny) / (ng + tiny))
+            sb = -sgn                 # −1 activation, +1 removal
+            r2 = jnp.asarray(np.sqrt(0.5), dtype)
+            u_pos = (alpha * g_b + sb * v_b / alpha) * r2
+            u_neg = (alpha * g_b - sb * v_b / alpha) * r2
+            u_vv = jnp.sqrt(beta) * v_b
+            one = jnp.ones_like(sb)
+            us = [(u_k, s1_k), (u_pos, one), (u_neg, -one), (u_vv, -one)]
         else:
-            u_k = s1_k = None
+            us = None
         Z, cert = _orthonormalize_z(Gt, live2.astype(dtype), ns_iters,
-                                    u=u_k, s1=s1_k)
-        ok = ok & (cert < cert_tol)
+                                    us=us)
+        cert_ok = cert < cert_tol
+        ok = ok & cert_ok
+        why = why | jnp.where(cert_ok, 0, 1 << (3 * k))
         # certified λ-noise floor of this level's carried frame: the
         # own-level residual Q c − b̃ carries ~cert·‖b̃‖ of frame error
         # (cert bottoms out at eps·κ(G) — the evaluation error of ZᵀGZ
@@ -329,10 +496,11 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
 
         # greedy extension: absorb rank growth (a newly activated
         # independent row) with the reference's own pivot rule
+        rank_pre = rank_k
         colnorm0 = jnp.sum(lvl[:, :, :n] * lvl[:, :, :n], axis=1)
         # the downdated-norm cancellation noise floor (see acceptance
         # check (b) below) also gates the extension trigger
-        ceps = 16.0 * jnp.finfo(dtype).eps
+        ceps = 64.0 * jnp.finfo(dtype).eps
         tol_eff = jnp.maximum(tol_ld, ceps * colnorm0)          # (B, n)
         for _ in range(ext_steps):
             cn = colnorm0 - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1)
@@ -379,6 +547,26 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
                          * self_f[:, None, :])
             rank_k = rank_k + grow.astype(jnp.int32)
 
+        # ---- Newton inverse-refinement of rinv against the freshly
+        # measured R.  ``rinv_new = rinv_old Z`` compounds evaluation
+        # error MULTIPLICATIVELY across committed trips (the cold solve
+        # commits ~194: its exported carry failed the next warm solve's
+        # cert for the whole batch, tools/trk_stats.py).  W is
+        # re-projected from the data every trip, so R = W·hotT is fresh;
+        # one Newton step X' = X(2I − RX) squares the carried error —
+        # the per-solve error becomes stationary at the evaluation
+        # floor (~eps·κ) instead of linear in total committed trips.
+        R_meas = jnp.einsum("bic,bjc->bij", W[:, :, :n], hot,
+                            precision=hp)
+        live_now2 = ((iota_k[None, :] < rank_k[:, None])[:, :, None]
+                     & (iota_k[None, :] < rank_k[:, None])[:, None, :])
+        R_tri = jnp.where(live_now2, jnp.triu(R_meas), eye)
+        rinv_stab = jnp.where(live_now2, rinv_new, eye)
+        rinv_new = jnp.matmul(
+            rinv_stab, 2.0 * eye - jnp.matmul(R_tri, rinv_stab,
+                                              precision=hp),
+            precision=hp) * live_now2.astype(dtype)
+
         # acceptance: the greedy panel's own rules, evaluated on the
         # carried factorization.
         # (a) Every pivot's prefix-downdated norm stays above the
@@ -394,16 +582,39 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
                               1.0 / jnp.maximum(rdiag_inv * rdiag_inv,
                                                 1e-30),
                               jnp.inf)
-        ok = ok & (jnp.min(piv_norm2, axis=1) >= 0.25 * tol_ld)
+        piv_ok = jnp.min(piv_norm2, axis=1) >= 0.25 * tol_ld
+        ok = ok & piv_ok
+        why = why | jnp.where(piv_ok, 0, 2 << (3 * k))
         # (b) No trailing column above the tolerance remains (no missed
         #     rank) — floored at the dtype's cancellation noise: the
         #     norm downdate colnorm - sum(W^2) carries ~eps*colnorm of
         #     noise (the greedy panel's own downdated norms share this
         #     floor at float32; ``lexlse.h:260-266``).
+        #     This check doubles as a FRAME-QUALITY filter: a skewed
+        #     carried frame (cert marginally under cert_tol) leaks
+        #     ~cert·colnorm into every trailing residual, and rejecting
+        #     on it is what guarantees accepted-carry x accuracy (the
+        #     trajectory test's 1e-8 contract at f64).  Do NOT guard it
+        #     by rank fullness — only by the dtype's cancellation floor
+        #     (64 eps: measured healthy-carry noise peaks ~40 eps·colnorm
+        #     at f32, trip ~23 of the stationary test).
+        #     The check floor must include the FRAME's certified error:
+        #     cn carries ~cert·colnorm of noise (Q orthonormal only to
+        #     cert), so comparing against a tol_ld below that noise
+        #     rejects every healthy carry (at the reference's f64
+        #     default tol_ld=1e-12, trip-1 drift-only carries measured
+        #     cn noise ~1e-10 and fell 100%).  The EXTENSION trigger
+        #     above keeps the un-floored greedy threshold: a rank the
+        #     frame can resolve is still added exactly where greedy
+        #     would add it; one the frame cannot resolve is below the
+        #     certification floor for acceptance too.
         cn = colnorm0 - jnp.sum(W[:, :, :n] * W[:, :, :n], axis=1)
         beyond = pos >= (fc_k + rank_k)[:, None]
-        ok = ok & jnp.logical_not(
-            jnp.any(beyond & (cn >= tol_eff), axis=1))
+        tol_chk = jnp.maximum(tol_eff, 8.0 * cert[:, None] * colnorm0)
+        trail_ok = jnp.logical_not(
+            jnp.any(beyond & (cn >= tol_chk), axis=1))
+        ok = ok & trail_ok
+        why = why | jnp.where(trail_ok, 0, 4 << (3 * k))
 
         # the multiplier identity needs the UNregularized R-frame rhs and
         # the deflated level rhs (factorization residual = Q c - b)
@@ -469,6 +680,34 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         if rest.shape[1]:
             rest = rest - jnp.matmul(Lp, W, precision=hp)
 
+        if chg is not None and rest.shape[1]:
+            # an activation whose extension added a pivot HERE: save the
+            # exact rank-1 elimination change for the levels below.
+            # z = Q[r, :] (the activated row's Q-frame coordinates);
+            # Δ(elimination) = (Lp·z)(W[slot, :])ᵀ / z_slot — see the
+            # docstring's kernel-direction derivation.  Using only the
+            # new pivot's own Lp column (z ≈ ρ·e_slot) is wrong whenever
+            # the new row correlates with the old pivots (measured 0.086
+            # identity residual on an exact synthetic).
+            act_here = ((lv[:, 0] == k) & (sgn[:, 0] > 0)
+                        & (rank_k > rank_pre))
+            maskf = act_here.astype(dtype)[:, None]
+            sel_new = (iota_k[None, :] == rank_pre[:, None]).astype(dtype)
+            row1h = lax.slice_in_dim(row_hot, fr, fr + dim, axis=1)
+            z_row = jnp.einsum("bd,bdk->bk", row1h.astype(dtype), Q,
+                               precision=hp)                    # (B, K)
+            zs = jnp.sum(z_row * sel_new, axis=1, keepdims=True)
+            inv_zs = jnp.where(jnp.abs(zs) > 1e-12, 1.0 / zs, 0.0)
+            c_col = jnp.einsum("bmk,bk->bm", Lp, z_row,
+                               precision=hp) * inv_zs
+            w_row = jnp.einsum("bkc,bk->bc", W, sel_new, precision=hp)
+            tail_c = lax.slice_in_dim(c_glob, fr + dim, c_glob.shape[1],
+                                      axis=1)
+            c_glob = jnp.concatenate(
+                [lax.slice_in_dim(c_glob, 0, fr + dim, axis=1),
+                 jnp.where(maskf > 0, c_col, tail_c)], axis=1)
+            w_cur = jnp.where(maskf > 0, w_row, w_cur)
+
         stash.append((hot, Q, W, rinv_new, Lp, c_orig, b_lvl, lam_floor))
         rinv_out.append(rinv_new)
         ranks_out.append(rank_k)
@@ -478,7 +717,7 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
     ranks_new = jnp.stack(ranks_out, axis=1)
     rinv_new_all = jnp.stack(rinv_out, axis=1)
     del iota_n
-    return ok, stash, fcs, pos, ranks_new, rinv_new_all
+    return ok, stash, fcs, pos, ranks_new, rinv_new_all, why
 
 
 def _hot_solve(stash, fcs, pos, fixed_mask, fixed_val, struct: Structure):
@@ -555,65 +794,74 @@ def _hot_lambda(stash, struct: Structure, dims_offsets, B, dtype):
 def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
                     params: ParametersLexLSI):
     """Batched removal selection (``findActiveCtr2Remove``,
-    ``lexlsi.h:1048-1139``) — the same predicated objective sweep the
-    fused kernel runs, in XLA."""
+    ``lexlsi.h:1048-1139``) — the reference's predicated objective sweep
+    VECTORIZED over objectives (one batched pass instead of p serial
+    ones; the trip is op-issue bound, ``docs/performance.md``).
+
+    The sweep's only cross-objective coupling is the CORRECT_SIGN
+    marking: a row marked at objective i is excluded from consideration
+    at objectives > i.  Marking is idempotent and — before the first
+    wrong-sign hit, the only region that affects the selection — is
+    independent of prior marks, so the serially-updated `sense` reduces
+    to an exclusive OR-scan of the per-objective mark sets:
+    ``marked_before_j = OR_{i<j} (eligible_i & active & a_i > tol_c)``.
+    The selected objective is the first with any wrong-sign row; the
+    row choice within it (insertion stamp / most-negative-with-priority)
+    is unchanged."""
     p = len(struct.lexlse_dims)
     d0 = struct.d0
     m = struct.m
-    B = ct.shape[0]
     dtype = lam_all.dtype
     iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
     tol_correct = params.tol_correct_sign_lambda
     tol_wrong = params.tol_wrong_sign_lambda
+    hp = lax.Precision.HIGHEST
 
-    sense = ct
-    found = jnp.zeros((B, 1), bool)
-    sel_row = jnp.full((B, 1), -1, jnp.int32)
-    if struct.simple_bounds:
+    if d0:
         vm = jnp.zeros((d0, struct.n_var), dtype).at[
             jnp.arange(d0), jnp.asarray(struct.var_idx_np)].set(1.0)
-    for j in range(p):
-        lam_j = lam_all[:, j, :]
-        if d0:
-            lam_fixed = -jnp.einsum("bmn,bm->bn", Agm, lam_j,
-                                    precision=lax.Precision.HIGHEST)
-            lam_fixed = lam_fixed * fixed_mask.astype(dtype)
-            vals0 = jnp.einsum("dn,bn->bd", vm, lam_fixed,
-                               precision=lax.Precision.HIGHEST)
-            vals = jnp.concatenate([vals0, lam_j], axis=1)
-        else:
-            vals = lam_j
-        eligible = jnp.asarray(np.asarray(struct.sweep_eligible(j)))[None, :]
-        a = jnp.where(ct == int(CtrType.ACTIVE_LB), -vals, vals)
-        consider = eligible & (
-            (sense == int(CtrType.ACTIVE_LB))
-            | (sense == int(CtrType.ACTIVE_UB)))
-        mark = consider & (a > tol_correct)
-        wrong = consider & (a < -tol_wrong)
-        sense = jnp.where(mark & jnp.logical_not(found),
-                          int(CtrType.CORRECT_SIGN_OF_LAMBDA), sense)
-        found_j = jnp.any(wrong, axis=1, keepdims=True)
-        if params.deactivate_first_wrong_sign:
-            key = jnp.where(wrong, st, _INT_MAX)
-            kmin = jnp.min(key, axis=1, keepdims=True)
-            first = wrong & (st == kmin)
-            row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
-                            keepdims=True).astype(jnp.int32)
-        else:
-            amask = jnp.where(wrong, a, jnp.asarray(jnp.inf, dtype))
-            amin = jnp.min(amask, axis=1, keepdims=True)
-            tie = wrong & (a == amin)
-            prio = jnp.asarray(
-                np.asarray(struct.sweep_priority(j), np.int32))[None, :]
-            pmin = jnp.min(jnp.where(tie, prio, _INT_MAX), axis=1,
-                           keepdims=True)
-            first = tie & (prio == pmin)
-            row_j = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1,
-                            keepdims=True).astype(jnp.int32)
-        commit = found_j & jnp.logical_not(found)
-        sel_row = jnp.where(commit, row_j, sel_row)
-        found = found | found_j
-    return found[:, 0], sel_row[:, 0]
+        lam_fixed = -jnp.einsum("bmn,bpm->bpn", Agm, lam_all, precision=hp)
+        lam_fixed = lam_fixed * fixed_mask[:, None, :].astype(dtype)
+        vals0 = jnp.einsum("dn,bpn->bpd", vm, lam_fixed, precision=hp)
+        vals = jnp.concatenate([vals0, lam_all], axis=2)       # (B, p, m)
+    else:
+        vals = lam_all
+    elig = jnp.asarray(np.stack(
+        [np.asarray(struct.sweep_eligible(j)) for j in range(p)]))[None]
+    active0 = ((ct == int(CtrType.ACTIVE_LB))
+               | (ct == int(CtrType.ACTIVE_UB)))[:, None, :]
+    a = jnp.where((ct == int(CtrType.ACTIVE_LB))[:, None, :], -vals, vals)
+    mark = elig & active0 & (a > tol_correct)
+    marked_before = (jnp.cumsum(mark, axis=1, dtype=jnp.int32)
+                     - mark.astype(jnp.int32)) > 0
+    wrong = (elig & active0 & jnp.logical_not(marked_before)
+             & (a < -tol_wrong))                               # (B, p, m)
+    found_j = jnp.any(wrong, axis=2)                           # (B, p)
+    found = jnp.any(found_j, axis=1)
+    hot_j = (jnp.arange(p, dtype=jnp.int32)[None, :]
+             == jnp.argmax(found_j, axis=1)[:, None])[:, :, None]
+    wrong_s = jnp.any(wrong & hot_j, axis=1)                   # (B, m)
+    if params.deactivate_first_wrong_sign:
+        key = jnp.where(wrong_s, st, _INT_MAX)
+        kmin = jnp.min(key, axis=1, keepdims=True)
+        first = wrong_s & (st == kmin)
+    else:
+        a_s = jnp.sum(jnp.where(wrong & hot_j, a, 0.0), axis=1)
+        amask = jnp.where(wrong_s, a_s, jnp.asarray(jnp.inf, dtype))
+        amin = jnp.min(amask, axis=1, keepdims=True)
+        tie = wrong_s & (a_s == amin)
+        prio_all = jnp.asarray(np.stack(
+            [np.asarray(struct.sweep_priority(j), np.int32)
+             for j in range(p)]))[None]                        # (1, p, m)
+        prio_s = jnp.sum(jnp.where(hot_j, prio_all, 0), axis=1,
+                         dtype=jnp.int32)
+        pmin = jnp.min(jnp.where(tie, prio_s, _INT_MAX), axis=1,
+                       keepdims=True)
+        first = tie & (prio_s == pmin)
+    row = jnp.min(jnp.where(first, iota_m, _INT_MAX), axis=1
+                  ).astype(jnp.int32)
+    sel_row = jnp.where(found, row, -1)
+    return found, sel_row
 
 
 
@@ -622,7 +870,7 @@ def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
     static_argnames=("struct", "params", "tile", "interpret",
                      "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
                      "compact_rounds", "ns_iters", "cert_tol", "ext_steps",
-                     "loop_cap", "shrink"),
+                     "loop_cap", "shrink", "debug_fall"),
 )
 def solve_core_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -633,6 +881,7 @@ def solve_core_tracked(
     compact_rounds: int = 1,
     ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
     reg=None, loop_cap: int = 0, shrink: tuple = (),
+    debug_fall: bool = False,
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
 
@@ -682,7 +931,7 @@ def solve_core_tracked(
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
         cert_tol=cert_tol, ext_steps=ext_steps, loop_cap=loop_cap,
-        shrink=shrink,
+        shrink=shrink, debug_fall=debug_fall,
         reg=None if params.regularization_type == RegularizationType.NONE
         else reg)
 
@@ -741,7 +990,8 @@ def _xla_tail(A, s, reg, struct: Structure, params: ParametersLexLSI):
 def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                   interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
                   compact_rounds, ns_iters, cert_tol, ext_steps, reg=None,
-                  chg0=None, loop_cap: int = 0, shrink: tuple = ()):
+                  chg0=None, loop_cap: int = 0, shrink: tuple = (),
+                  debug_fall: bool = False):
     """The tracker while-loop + kernel handover, from an already-built
     batched state (phase 1 done, or a mid-solve state from a capped
     kernel phase — the cold-start driver).
@@ -793,7 +1043,7 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                     & ((s.it == 0) | (s.n_fact < max_fact)))
 
         def cond(carry):
-            s, _, _, _, fall, _, _, trip = carry
+            s, fall, trip = carry[0], carry[4], carry[9]
             any_alive = jnp.any(alive_of(s, fall))
             if loop_cap:
                 return any_alive & (trip < loop_cap)
@@ -811,7 +1061,13 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             return body
 
         def _body_impl(carry, A, B):
-            s, rinv_c, pos_c, ranks_c, fall, chg_hot, chg_sign, trip = carry
+            if debug_fall:
+                (s, rinv_c, pos_c, ranks_c, fall, chg_hot, chg_sign,
+                 chg_c, chg_w, trip, fall_trip, fall_why) = carry
+            else:
+                (s, rinv_c, pos_c, ranks_c, fall, chg_hot, chg_sign,
+                 chg_c, chg_w, trip) = carry
+            chg_sign_in = chg_sign
             alive = alive_of(s, fall)
 
             Ag, bg, fixed_mask, fixed_val = jax.vmap(
@@ -839,10 +1095,11 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 jnp.round(jnp.einsum("bm,m->b", hot_g, lvl_map)
                           )[:, None].astype(jnp.int32), -1)
             sgn = chg_sign * has_g
-            ok, stash, fcs, pos_n, ranks_n, rinv_n = _factorize_carried(
+            ok, stash, fcs, pos_n, ranks_n, rinv_n, why = _factorize_carried(
                 Agz, bgz, rinv_c, pos_c, ranks_c, struct, params,
                 ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps,
-                reg_factors=reg, chg=(a_row, lv, sgn))
+                reg_factors=reg,
+                chg=(a_row, hot_g, lv, sgn, chg_c, chg_w))
 
             x_star = _hot_solve(stash, fcs, pos_n, fixed_mask, fixed_val,
                                 struct)
@@ -904,6 +1161,50 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 n_fact=s.n_fact + (commit & (s.it > 0)).astype(jnp.int32),
                 status=status)
 
+            # --- removal: delete the level's LAST carried pivot (see
+            # :func:`_delete_last_pivot`) so the next trip's closed-form
+            # downdate operates on the reduced pivot prefix instead of
+            # going singular (tools/trk_stats.py measured every removal
+            # falling back to the kernel before this)
+            rm_commit = do_remove & commit
+            rm_hot_g = (rrow_hot[:, d0:].astype(jnp.float32)
+                        * rm_commit[:, None])
+            # the deleted pivot's elimination change (from THIS trip's
+            # factors, pre-deletion) — the next trip's below levels
+            # absorb its disappearing Gauss elimination.  Same exact
+            # rank-1 identification as the activation save: z = Q[r, :]
+            # of the REMOVED row, Δ = (Lp·z)(W[slot, :])ᵀ / z_slot.
+            K_ = rinv_n.shape[-1]
+            iota_kk = jnp.arange(K_, dtype=jnp.int32)
+            lv_rm = jnp.round(jnp.einsum(
+                "bm,m->b", rm_hot_g, lvl_map)).astype(jnp.int32)
+            is_rm = jnp.sum(rm_hot_g, axis=1) > 0
+            chg_c_n = jnp.zeros_like(chg_c)
+            chg_w_n = jnp.zeros_like(chg_w)
+            hp_ = lax.Precision.HIGHEST
+            for j, (fr_j, dim_j) in enumerate(
+                    zip(offsets, struct.lexlse_dims)):
+                if stash[j] is None or fr_j + dim_j >= chg_c.shape[1]:
+                    continue
+                Q_j, W_j, Lp_j = stash[j][1], stash[j][2], stash[j][4]
+                mask_j = (is_rm & (lv_rm == j)).astype(dtype)[:, None]
+                sel_j = (iota_kk[None, :]
+                         == (ranks_n[:, j] - 1)[:, None]).astype(dtype)
+                row1h_j = lax.slice_in_dim(rm_hot_g, fr_j, fr_j + dim_j,
+                                           axis=1).astype(dtype)
+                z_j = jnp.einsum("bd,bdk->bk", row1h_j, Q_j,
+                                 precision=hp_)
+                zs_j = jnp.sum(z_j * sel_j, axis=1, keepdims=True)
+                inv_j = jnp.where(jnp.abs(zs_j) > 1e-12, 1.0 / zs_j, 0.0)
+                c_j = (jnp.einsum("bmk,bk->bm", Lp_j, z_j, precision=hp_)
+                       * inv_j * mask_j)
+                w_j = jnp.einsum("bkc,bk->bc", W_j, sel_j,
+                                 precision=hp_) * mask_j
+                chg_c_n = chg_c_n.at[:, fr_j + dim_j:].add(c_j)
+                chg_w_n = chg_w_n + w_j
+            pos_n, ranks_n = _delete_last_pivot(pos_n, ranks_n,
+                                                rm_hot_g, struct)
+
             cmr = commit.reshape((-1, 1, 1, 1))
             rinv_c = jnp.where(cmr, rinv_n, rinv_c)
             pos_c = jnp.where(commit[:, None], pos_n, pos_c)
@@ -918,8 +1219,24 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             chg_hot = jnp.where(cm2, chg_hot_n, jnp.zeros_like(chg_hot))
             chg_sign = jnp.where(cm2, chg_sign_n,
                                  jnp.zeros_like(chg_sign))
+            chg_c = jnp.where(cm2, chg_c_n, jnp.zeros_like(chg_c))
+            chg_w = jnp.where(cm2, chg_w_n, jnp.zeros_like(chg_w))
+            if debug_fall:
+                new_fall = alive & jnp.logical_not(ok)
+                fall_trip = jnp.where(new_fall, trip + 1, fall_trip)
+                # encode the op the failing trip tried to absorb in the
+                # trip field's last digit: chg_sign_in is +1 for an
+                # activation, -1 for a removal, 0 drift-only
+                op_code = jnp.round(chg_sign_in[:, 0]).astype(jnp.int32)
+                fall_trip = jnp.where(new_fall,
+                                      fall_trip * 10 + (op_code + 1),
+                                      fall_trip)
+                fall_why = jnp.where(new_fall, why, fall_why)
+                return (s_new, rinv_c, pos_c, ranks_c, fall, chg_hot,
+                        chg_sign, chg_c, chg_w, trip + 1, fall_trip,
+                        fall_why)
             return (s_new, rinv_c, pos_c, ranks_c, fall, chg_hot,
-                    chg_sign, trip + 1)
+                    chg_sign, chg_c, chg_w, trip + 1)
 
         fall0 = jnp.zeros((B,), bool)
         if chg0 is None:
@@ -927,8 +1244,16 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             chg_sign0 = jnp.zeros((B, 1), jnp.float32)
         else:
             chg_hot0, chg_sign0 = chg0
+        chg_c0 = jnp.zeros((B, max(m - d0, 1)), dtype)
+        chg_w0 = jnp.zeros((B, n + 1), dtype)
         carry0 = (s0, carried.rinv, carried.pos, carried.ranks, fall0,
-                  chg_hot0, chg_sign0, jnp.zeros((), jnp.int32))
+                  chg_hot0, chg_sign0, chg_c0, chg_w0,
+                  jnp.zeros((), jnp.int32))
+        if debug_fall:
+            if shrink:
+                raise LexLSError("debug_fall with shrink unsupported")
+            carry0 = carry0 + (jnp.zeros((B,), jnp.int32),
+                               jnp.zeros((B,), jnp.int32))
         if shrink:
             sizes = tuple(int(z) for z in shrink)
             if any(z <= 0 for z in sizes) or \
@@ -937,13 +1262,21 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                     f"shrink sizes must be strictly decreasing and < B: "
                     f"{sizes} (B={B})")
             # trip 1 at full width (every warm solve factorizes at least
-            # once), then compact-and-shrink one trip per slab size
+            # once), then compact-and-shrink one trip per slab size.
+            # All slab moves happen on ONE packed (B, F) buffer — the
+            # per-leaf permute version cost ~90 matmul ops per level
+            # (op-issue bound) and erased the compaction win.  The tail
+            # leaves (state sans chg) are packed as a PREFIX so the
+            # parked tail is one slice + matmul and stays packed until
+            # the unwind.
             carry = make_body(A)(carry0)
             stack = []
             A_cur = A
+            fdt = A.dtype
+            hp = lax.Precision.HIGHEST
             for sz in sizes:
                 (s_c, rinv_c, pos_c, ranks_c, fall_c, chg_hot_c,
-                 chg_sign_c, trip_c) = carry
+                 chg_sign_c, chg_c_c, chg_w_c, trip_c) = carry
                 Bc = A_cur.shape[0]
                 alive = alive_of(s_c, fall_c)
                 order = jnp.argsort(jnp.logical_not(alive))
@@ -951,39 +1284,52 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 hot = (order[:, None] == iota_b[None, :]).astype(
                     jnp.float32)                                # (Bc, Bc)
                 hot_h, hot_t = hot[:sz], hot[sz:]
-                gh = lambda arr: _permute_rows(arr, hot_h)
-                gt = lambda arr: _permute_rows(arr, hot_t)
-                head = jax.tree_util.tree_map(
-                    gh, (s_c, rinv_c, pos_c, ranks_c, fall_c,
-                         chg_hot_c, chg_sign_c))
-                tail = jax.tree_util.tree_map(
-                    gt, (s_c, rinv_c, pos_c, ranks_c, fall_c))
+                tree5 = (s_c, rinv_c, pos_c, ranks_c, fall_c)
+                buf, meta = _pack_tree(
+                    (tree5, chg_hot_c, chg_sign_c, chg_c_c, chg_w_c), fdt)
+                n5 = len(jax.tree_util.tree_leaves(tree5))
+                spec = meta[1]
+                w5 = sum(spec[i][2] for i in range(n5))
+                # fall must be the last prefix column (the overflow OR
+                # below writes it in packed form)
+                assert spec[n5 - 1][1:] == (jnp.bool_, 1)
+                head5, chg_hot_h, chg_sign_h, chg_c_h, chg_w_h = \
+                    _unpack_tree(_permute_rows(buf, hot_h), meta)
+                buf_t = _permute_rows(
+                    lax.slice_in_dim(buf, 0, w5, axis=1), hot_t)
                 # overflow: a straggler that did not fit the slab
                 # finishes in the fused kernel (correctness is
-                # slab-size independent)
-                tail = tail[:4] + (
-                    tail[4] | alive_of(tail[0], tail[4]),)
-                stack.append((hot, tail))
+                # slab-size independent) — OR it into the packed tail's
+                # fall column
+                ov_t = jnp.dot(hot_t.astype(fdt), alive.astype(fdt),
+                               precision=hp)
+                buf_t = buf_t.at[:, w5 - 1].max(ov_t)
+                stack.append((hot, buf_t))
                 A_cur = _permute_rows(A_cur, hot_h)
-                carry = make_body(A_cur)(head + (trip_c,))
+                carry = make_body(A_cur)(head5 + (chg_hot_h, chg_sign_h,
+                                                  chg_c_h, chg_w_h,
+                                                  trip_c))
             # unbounded finish on the smallest slab (loop_cap still
             # bounds total trips if set)
             carry = lax.while_loop(cond, make_body(A_cur), carry)
             s, rinv_c, pos_c, ranks_c, fall = carry[:5]
             if loop_cap:
                 fall = fall | alive_of(s, fall)
-            # unwind: re-attach each level's parked tail and invert the
-            # compaction permutation (hot is orthogonal: inverse = hotT)
-            for hot, tail in reversed(stack):
-                merged = jax.tree_util.tree_map(
-                    lambda h, t: jnp.concatenate([h, t], axis=0),
-                    (s, rinv_c, pos_c, ranks_c, fall), tail)
-                hot_t_inv = hot.T
-                s, rinv_c, pos_c, ranks_c, fall = jax.tree_util.tree_map(
-                    lambda arr: _permute_rows(arr, hot_t_inv), merged)
+            # unwind in packed form: re-attach each level's parked tail
+            # and invert the compaction permutation (hot is orthogonal:
+            # inverse = hotT); one concat + one matmul per level, one
+            # unpack at the top
+            buf_head, meta5 = _pack_tree(
+                (s, rinv_c, pos_c, ranks_c, fall), fdt)
+            for hot, buf_t in reversed(stack):
+                buf_full = jnp.concatenate([buf_head, buf_t], axis=0)
+                buf_head = _permute_rows(buf_full, hot.T)
+            s, rinv_c, pos_c, ranks_c, fall = _unpack_tree(
+                buf_head, meta5)
         else:
-            s, rinv_c, pos_c, ranks_c, fall, _, _, _ = lax.while_loop(
-                cond, make_body(A), carry0)
+            out = lax.while_loop(cond, make_body(A), carry0)
+            s, rinv_c, pos_c, ranks_c, fall = out[:5]
+            fall_dbg = out[10:] if debug_fall else None
             if loop_cap:
                 # capped out while still alive: finish in the fused kernel
                 fall = fall | alive_of(s, fall)
@@ -998,26 +1344,70 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
         # carried factors of fallen instances are invalidated (ranks 0:
         # they re-enter the tracker as an immediate fallback next solve).
         resolved = s.status != unknown
+        carried_t = Carried(rinv=rinv_c, pos=pos_c, ranks=ranks_c)
+
+        def merge(st_k, carried_k):
+            """Tracker-resolved instances keep the tracker result;
+            kernel phases restart n_act/n_deact at zero, so counters sum
+            (parked instances contribute zero kernel counts)."""
+            res = resolved
+            final = jax.tree_util.tree_map(
+                lambda a_t, a_k: jnp.where(
+                    res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
+                s, st_k)
+            if reg is None:
+                final = dataclasses.replace(
+                    final,
+                    n_act=s.n_act + jnp.where(res, 0, st_k.n_act),
+                    n_deact=s.n_deact + jnp.where(res, 0, st_k.n_deact),
+                )
+            # (the XLA tail increments s's own counters, nothing to add)
+            carried_new = jax.tree_util.tree_map(
+                lambda a_t, a_k: jnp.where(
+                    res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
+                carried_t, carried_k)
+            return final, carried_new
+
         if reg is None:
-            it0 = s.it
-            s_in = dataclasses.replace(
-                s, n_fact=jnp.where(resolved, max_fact, s.n_fact))
-            order = jnp.argsort(resolved)
-            iota_b = jnp.arange(B, dtype=jnp.int32)
-            hot_b = (order[:, None] == iota_b[None, :]).astype(jnp.float32)
-            g = lambda arr: _permute_rows(arr, hot_b)
-            s_perm = jax.tree_util.tree_map(g, s_in)
-            st_k, factors_k = _fused_tail(
-                g(A), s_perm, g(it0), struct=struct, params=params,
-                tile=tile, interpret=interpret,
-                vmem_limit_mb=vmem_limit_mb, compact=compact,
-                tile_b=tile_b, panel_unroll=panel_unroll,
-                compact_rounds=compact_rounds, return_factors=True)
-            hot_t = hot_b.T
-            gi = lambda arr: _permute_rows(arr, hot_t)
-            st_k = jax.tree_util.tree_map(gi, st_k)
-            factors_k = jax.tree_util.tree_map(gi, factors_k)
-            carried_k = bootstrap_carried(factors_k)
+            def do_handover(_):
+                it0 = s.it
+                s_in = dataclasses.replace(
+                    s, n_fact=jnp.where(resolved, max_fact, s.n_fact))
+                order = jnp.argsort(resolved)
+                iota_b = jnp.arange(B, dtype=jnp.int32)
+                hot_b = (order[:, None] == iota_b[None, :]).astype(
+                    jnp.float32)
+                g = lambda arr: _permute_rows(arr, hot_b)
+                s_perm = jax.tree_util.tree_map(g, s_in)
+                st_k, factors_k = _fused_tail(
+                    g(A), s_perm, g(it0), struct=struct, params=params,
+                    tile=tile, interpret=interpret,
+                    vmem_limit_mb=vmem_limit_mb, compact=compact,
+                    tile_b=tile_b, panel_unroll=panel_unroll,
+                    compact_rounds=compact_rounds, return_factors=True)
+                hot_t = hot_b.T
+                gi = lambda arr: _permute_rows(arr, hot_t)
+                st_k = jax.tree_util.tree_map(gi, st_k)
+                factors_k = jax.tree_util.tree_map(gi, factors_k)
+                return merge(st_k, bootstrap_carried(factors_k))
+
+            def skip_handover(_):
+                return s, carried_t
+
+            # _tracked_tail is a batch driver, never vmapped: the cond
+            # is a REAL runtime branch (not a select), so when every
+            # instance resolved in the tracker — the common warm-solve
+            # case — the permutes, the Pallas kernel round-trip, and
+            # the tri-inv bootstrap are all skipped (~1.24 ms at B=384,
+            # tools/trk_profile.py).  interpret=True (CPU tests) keeps
+            # the unconditional path: pallas interpret mode inside a
+            # lax.cond branch is not supported on the CPU backend.
+            if interpret:
+                final, carried_new = do_handover(None)
+            else:
+                final, carried_new = lax.cond(
+                    jnp.logical_not(jnp.all(resolved)),
+                    do_handover, skip_handover, None)
         else:
             st_k = _xla_tail(A, s, reg, struct, params)
             carried_k = Carried(
@@ -1025,29 +1415,13 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 pos=jnp.broadcast_to(
                     jnp.arange(n, dtype=jnp.int32), (B, n)),
                 ranks=jnp.zeros((B, p), jnp.int32))
-
-        # --- merge: tracker-resolved instances keep the tracker result;
-        # kernel phases restart n_act/n_deact at zero, so counters sum
-        # (parked instances contribute zero kernel counts)
-        res = resolved
-        final = jax.tree_util.tree_map(
-            lambda a_t, a_k: jnp.where(
-                res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
-            s, st_k)
-        if reg is None:
-            final = dataclasses.replace(
-                final,
-                n_act=s.n_act + jnp.where(res, 0, st_k.n_act),
-                n_deact=s.n_deact + jnp.where(res, 0, st_k.n_deact),
-            )
-        # (the XLA tail increments s's own counters, nothing to add)
-
-        # --- carried state for the next solve
-        carried_t = Carried(rinv=rinv_c, pos=pos_c, ranks=ranks_c)
-        carried_new = jax.tree_util.tree_map(
-            lambda a_t, a_k: jnp.where(
-                res.reshape((-1,) + (1,) * (a_t.ndim - 1)), a_t, a_k),
-            carried_t, carried_k)
+            final, carried_new = merge(st_k, carried_k)
+        if debug_fall:
+            # diagnosis only (tools/trk_stats.py): which instances took
+            # the kernel/XLA fallback this solve, at which trip, and
+            # which acceptance rule rejected (bit0 cert / bit1
+            # pivot-norm / bit2 trailing-column)
+            return final, carried_new, (fall,) + tuple(fall_dbg)
         return final, carried_new
 
 
@@ -1056,7 +1430,7 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
     static_argnames=("struct", "params", "x_guess_specified",
                      "v0_specified", "tile", "interpret", "vmem_limit_mb",
                      "compact", "tile_b", "panel_unroll", "compact_rounds",
-                     "ns_iters", "cert_tol", "ext_steps"),
+                     "ns_iters", "cert_tol", "ext_steps", "debug_fall"),
 )
 def solve_core_cold_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -1066,7 +1440,7 @@ def solve_core_cold_tracked(
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
     ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
-    reg=None,
+    reg=None, debug_fall: bool = False,
 ):
     """Cold-start batched solve through the tracker loop.
 
@@ -1139,10 +1513,38 @@ def solve_core_cold_tracked(
                 n_act=na[:, 0], n_deact=nd[:, 0], n_fact=nf[:, 0],
                 status=status[:, 0])
             carried0 = bootstrap_carried((rpadf, posf, ranksf))
+
+        # The bootstrap factors describe the INITIAL working set, but
+        # the bootstrap iteration itself may have committed one change
+        # (activation or removal) into s1.  Hand it to the tracker as
+        # chg0 so trip 1 absorbs it analytically — without this every
+        # cold solve's trip 1 failed the cert and the WHOLE solve ran
+        # in the fallback (tools/trk_stats.py: 384/384 falls).  A
+        # removal additionally needs the carried pivot deletion.
+        act_lb, act_ub = int(CtrType.ACTIVE_LB), int(CtrType.ACTIVE_UB)
+        was_act = (s.ctr_type == act_lb) | (s.ctr_type == act_ub)
+        now_act = (s1.ctr_type == act_lb) | (s1.ctr_type == act_ub)
+        changed = was_act != now_act
+        chg_hot0 = changed.astype(jnp.float32)
+        n_chg = jnp.sum(chg_hot0, axis=1, keepdims=True)
+        sgn0 = (jnp.sum((now_act & changed).astype(jnp.float32), axis=1,
+                        keepdims=True)
+                - jnp.sum((was_act & changed).astype(jnp.float32),
+                          axis=1, keepdims=True))
+        # iter_cap=1 commits at most one change; guard anyway (zeros =
+        # "carry matches exactly" => the certificate decides)
+        chg_hot0 = jnp.where(n_chg <= 1.0, chg_hot0, 0.0)
+        chg_sign0 = jnp.where(n_chg <= 1.0, sgn0, 0.0)
+        rm_hot_g = (chg_hot0[:, struct.d0:]
+                    * (chg_sign0 < 0).astype(jnp.float32))
+        pos0, ranks0 = _delete_last_pivot(carried0.pos, carried0.ranks,
+                                          rm_hot_g, struct)
+        carried0 = Carried(rinv=carried0.rinv, pos=pos0, ranks=ranks0)
     return _tracked_tail(
         A, s1, carried0, struct=struct, params=params, tile=tile,
         interpret=interpret, vmem_limit_mb=vmem_limit_mb, compact=compact,
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
         cert_tol=cert_tol, ext_steps=ext_steps,
-        reg=reg if reg_mode else None)
+        reg=reg if reg_mode else None, debug_fall=debug_fall,
+        chg0=(chg_hot0, chg_sign0))

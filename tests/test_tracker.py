@@ -276,9 +276,192 @@ def test_tracked_lambda_noise_floor_regression():
     _drive(24, kicks=(0.003, 0.02, 0.004))
 
 
+def test_carried_error_stays_stationary_f32():
+    """Regression (round-4 TPU diagnosis): ``rinv_new = rinv_old Z``
+    compounds evaluation error MULTIPLICATIVELY across committed trips —
+    after the cold solve's ~194 commits at f32, the exported carry
+    failed the next warm solve's certificate for the entire batch.  The
+    Newton inverse-refinement against the freshly measured R makes the
+    error stationary: 200 successive carried re-factorizations at f32
+    drift must all stay accepted."""
+    rng = np.random.default_rng(3)
+    n, dims = 16, [6, 5]
+    prob = gen.random_inequality_hierarchy(
+        rng, n, dims, equality_fraction=1.0, tight_fraction=0.0)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(tol_linear_dependence=1e-7)
+    B = 4
+    dt = jnp.float32
+    m = prob.n_ctr
+    base = np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
+                     for _ in range(B)]).astype(np.float32)
+    lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dt), (B, m))
+    ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dt), (B, m))
+    ct = jnp.broadcast_to(
+        jnp.asarray(jli.initial_activation(prob)[0]), (B, m))
+
+    Ag, bg, fm, fv = jax.vmap(
+        lambda a, l, u, c: jli._masked_general(a, l, u, c, struct)
+    )(jnp.asarray(base, dt), lbs, ubs, ct)
+    Agz = jnp.where(fm[:, None, :], 0.0, Ag)
+    st, factors = jli.solve_core_fused(
+        jnp.asarray(base, dt), lbs, ubs, ct,
+        jnp.zeros((B, m), jnp.int32), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, n), dt), jnp.zeros((B, m), dt),
+        jnp.asarray(prob.regularization, dt), struct=struct,
+        params=params, x_guess_specified=False, v0_specified=False,
+        tile=B, interpret=True, return_factors=True)
+    car = tracker.bootstrap_carried(factors)
+    rinv, pos, ranks = car.rinv, car.pos, car.ranks
+    Agz0 = Agz
+    with jax.default_matmul_precision("float32"):
+        for t in range(200):
+            d = jnp.asarray(
+                1e-3 * rng.standard_normal(Agz.shape), dt)
+            # bounded wander around the base problem: consecutive
+            # factorizations differ by ~2e-3 (absorbable drift) but the
+            # pivot pattern never genuinely changes
+            Agz = Agz0 + jnp.where(Agz0 == 0.0, 0.0, d)
+            ok, _, _, pos, ranks, rinv, why = tracker._factorize_carried(
+                Agz, bg, rinv, pos, ranks, struct, params,
+                ns_iters=2, cert_tol=1e-3, ext_steps=1)
+            assert bool(jnp.all(ok)), f"carry rejected at trip {t}, " \
+                f"why={np.asarray(why)}"
+
+
+def _controlled_setup():
+    """Two 6-row general levels over n=20 (full-rank, no degeneracy):
+    the carried-factorization acceptance should survive single
+    working-set changes without falling back."""
+    rng = np.random.default_rng(2)
+    n = 20
+    prob = gen.random_inequality_hierarchy(
+        rng, n, [6, 6], equality_fraction=0.0, tight_fraction=0.0)
+    struct = jli.Structure.of(prob)
+    params = T.ParametersLexLSI(tol_linear_dependence=1e-7)
+    dt = jnp.float64
+    B, m = 1, prob.n_ctr
+    As = jnp.asarray(prob.A[None], dt)
+    lbs = jnp.asarray(prob.lb[None], dt)
+    ubs = jnp.asarray(prob.ub[None], dt)
+    return rng, n, prob, struct, params, dt, B, m, As, lbs, ubs
+
+
+def _masked(As, lbs, ubs, ct, struct):
+    Ag, bg, fm, fv = jax.vmap(
+        lambda a, l, u, cc: jli._masked_general(a, l, u, cc, struct)
+    )(As, lbs, ubs, ct)
+    Agz = jnp.where(fm[:, None, :], 0.0, Ag)
+    bgz = bg - jnp.einsum("bmn,bn->bm", Ag, fv)
+    return Agz, bgz
+
+
+def test_carried_absorbs_activation_below_levels():
+    """Round-4: a working-set ACTIVATION at level 0 changes the Gauss
+    elimination into level 1 by exactly rank one; without absorbing it,
+    level 1's carried frame fails the cert and the instance falls back
+    (TPU diagnosis: EVERY working-set change fell).  With the
+    kernel-direction rank-1 identification the whole carried trip must
+    be ACCEPTED (ok=True) and the extension must add the new pivot."""
+    (rng, n, prob, struct, params, dt, B, m, As, lbs, ubs) = \
+        _controlled_setup()
+    ACT, INA = int(T.CtrType.ACTIVE_LB), int(T.CtrType.INACTIVE)
+    ct0 = np.full((B, m), INA, np.int32)
+    ct0[:, :5] = ACT
+    ct0[:, 6:12] = ACT
+    ct0 = jnp.asarray(ct0)
+    f = jax.vmap(lambda a, l, u, c: jli._factorize(
+        a, l, u, c, struct, params, jnp.zeros(2, dt)))(As, lbs, ubs, ct0)
+    car = tracker.carried_from_lexqr(f, struct)
+    assert np.asarray(car.ranks).tolist() == [[5, 6]]
+
+    ct1 = ct0.at[:, 5].set(ACT)
+    Agz, bgz = _masked(As, lbs, ubs, ct1, struct)
+    mg = Agz.shape[1]
+    row_hot = jnp.broadcast_to(
+        (jnp.arange(mg)[None, :] == 5), (B, mg)).astype(dt)
+    ok, _, _, pos, ranks, rinv, why = tracker._factorize_carried(
+        Agz, bgz, car.rinv, car.pos, car.ranks, struct, params,
+        ns_iters=2, cert_tol=1e-3, ext_steps=1,
+        chg=(Agz[:, 5, :], row_hot, jnp.zeros((B, 1), jnp.int32),
+             jnp.ones((B, 1), dt), jnp.zeros((B, mg), dt),
+             jnp.zeros((B, n + 1), dt)))
+    assert bool(jnp.all(ok)), f"why={np.asarray(why)}"
+    assert np.asarray(ranks).tolist() == [[6, 6]]
+    # without the chg identification the same trip must be REJECTED
+    # (otherwise this test would not prove the absorption does anything)
+    ok2, *_ = tracker._factorize_carried(
+        Agz, bgz, car.rinv, car.pos, car.ranks, struct, params,
+        ns_iters=2, cert_tol=1e-3, ext_steps=1)
+    assert not bool(jnp.any(ok2))
+
+
+def test_carried_absorbs_removal_below_levels():
+    """The removal dual: deleting the changed level's last pivot
+    (rank decrement + pos renumber) plus absorbing the DISAPPEARING
+    Gauss elimination (carried c_rm/w_rm from the committing trip's
+    factors) keeps the whole carried trip accepted."""
+    (rng, n, prob, struct, params, dt, B, m, As, lbs, ubs) = \
+        _controlled_setup()
+    ACT, INA = int(T.CtrType.ACTIVE_LB), int(T.CtrType.INACTIVE)
+    ct1 = np.full((B, m), INA, np.int32)
+    ct1[:, :6] = ACT
+    ct1[:, 6:12] = ACT
+    ct1 = jnp.asarray(ct1)
+    f = jax.vmap(lambda a, l, u, c: jli._factorize(
+        a, l, u, c, struct, params, jnp.zeros(2, dt)))(As, lbs, ubs, ct1)
+    car = tracker.carried_from_lexqr(f, struct)
+    assert np.asarray(car.ranks).tolist() == [[6, 6]]
+
+    # one carried trip on the SAME working set yields the stash (Q, W,
+    # Lp) the body would have saved at the committing trip
+    Agz1, bgz1 = _masked(As, lbs, ubs, ct1, struct)
+    mg = Agz1.shape[1]
+    zeros_chg = (jnp.zeros((B, n), dt), jnp.zeros((B, mg), dt),
+                 jnp.full((B, 1), -1, jnp.int32), jnp.zeros((B, 1), dt),
+                 jnp.zeros((B, mg), dt), jnp.zeros((B, n + 1), dt))
+    ok0, stash, fcs, pos, ranks, rinv, _ = tracker._factorize_carried(
+        Agz1, bgz1, car.rinv, car.pos, car.ranks, struct, params,
+        ns_iters=2, cert_tol=1e-3, ext_steps=1, chg=zeros_chg)
+    assert bool(jnp.all(ok0))
+
+    # remove row 5: carried bookkeeping exactly as the body commits it
+    iota_k = jnp.arange(car.rinv.shape[-1])
+    Q0, W0, Lp0 = stash[0][1], stash[0][2], stash[0][4]
+    sel = (iota_k[None, :] == 5).astype(dt)
+    z = Q0[:, 5, :]                       # row 5's Q-frame coordinates
+    zs = jnp.sum(z * sel, axis=1, keepdims=True)
+    c_rm0 = jnp.einsum("bmk,bk->bm", Lp0, z) / zs
+    c_rm = jnp.zeros((B, mg), dt).at[:, 6:].set(c_rm0)
+    w_rm = jnp.einsum("bkc,bk->bc", W0, sel)
+    row_hot = jnp.broadcast_to(
+        (jnp.arange(mg)[None, :] == 5), (B, mg)).astype(dt)
+    pos_d, ranks_d = tracker._delete_last_pivot(pos, ranks, row_hot,
+                                                struct)
+    assert np.asarray(ranks_d).tolist() == [[5, 6]]
+
+    ct0 = ct1.at[:, 5].set(INA)
+    Agz0, bgz0 = _masked(As, lbs, ubs, ct0, struct)
+    a_row = jnp.einsum("bm,bmn->bn", row_hot, Agz1)
+    ok, _, _, pos2, ranks2, rinv2, why = tracker._factorize_carried(
+        Agz0, bgz0, rinv, pos_d, ranks_d, struct, params,
+        ns_iters=2, cert_tol=1e-3, ext_steps=1,
+        chg=(a_row, row_hot, jnp.zeros((B, 1), jnp.int32),
+             -jnp.ones((B, 1), dt), c_rm, w_rm))
+    assert bool(jnp.all(ok)), f"why={np.asarray(why)}"
+    assert np.asarray(ranks2).tolist() == [[5, 6]]
+
+
 def test_tracked_exact_trajectory_small_drift():
     """On accepted carries the working-set trajectory itself matches the
-    from-scratch solver (same pivot sets => same x => same ratio tests)."""
+    from-scratch solver (same pivot sets => same x => same ratio tests).
+
+    x on an accepted carry is exact to ~cert·kappa: the acceptance
+    tolerance is the accuracy contract, so this test pins cert_tol to
+    1e-9 — carries above it fall to the exact tier and the assert stays
+    sharp (at the default 1e-3 a marginal-but-accepted frame may carry
+    ~1e-5 into x, which is within the TRACKED tier's documented
+    envelope but not "exact")."""
     rng = np.random.default_rng(42)
     prob = gen.random_inequality_hierarchy(
         rng, 12, [5, 5, 5], equality_fraction=0.15, tight_fraction=0.35)
@@ -309,7 +492,8 @@ def test_tracked_exact_trajectory_small_drift():
                             x_guess_specified=True)
         stt, carried = tracker.solve_core_tracked(
             A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
-            struct=struct, params=params, tile=B, interpret=True)
+            struct=struct, params=params, tile=B, interpret=True,
+            cert_tol=1e-9)
         np.testing.assert_array_equal(np.asarray(stt.status),
                                       np.asarray(ref.status))
         np.testing.assert_array_equal(np.asarray(stt.it), np.asarray(ref.it))

@@ -137,7 +137,7 @@ def main():
                     Agz = jnp.where(fixed_mask[:, None, :], 0.0, Ag)
                     bgz = bg - jnp.einsum("bmn,bn->bm", Ag, fixed_val,
                                           precision=hp)
-                    ok, stash, fcs, pos_n, ranks_n, rinv_n = \
+                    ok, stash, fcs, pos_n, ranks_n, rinv_n, _why = \
                         trk._factorize_carried(
                             Agz, bgz, rinv, pos, ranks, struct, params,
                             ns_iters=2, cert_tol=1e-3, ext_steps=1,
