@@ -88,11 +88,16 @@ def main():
     # tracked mode: full-batch tracker trips before the fused-kernel
     # handover absorbs the straggler tail (0 = unbounded)
     loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 0))
-    # tracked mode: pyramid slab sizes (comma-separated, e.g. "192,96")
-    # — compact stragglers to shrinking leading slabs instead of paying
-    # E[max iters] full-width trips (tracker.py _tracked_tail)
+    # tracked mode: pyramid slab sizes (comma-separated) — compact
+    # stragglers to shrinking leading slabs instead of paying
+    # E[max iters] full-width trips (tracker.py _tracked_tail).
+    # Default sized from tools/trk_stats.py at B=384: alive after trip 1
+    # is ~50-120 (1e-3 drift), after trip 2 ~0-10; overflow falls to the
+    # fused kernel so sizing is a speed knob only.
+    shrink_default = "192,96" if B >= 256 else ""
     shrink = tuple(
-        int(z) for z in os.environ.get("LEXLS_BENCH_SHRINK", "").split(",")
+        int(z) for z in os.environ.get(
+            "LEXLS_BENCH_SHRINK", shrink_default).split(",")
         if z.strip())
     # tracked mode: first-order re-orthonormalization passes (the
     # analytic rank-1 pre-step handles the working-set spike; one pass

@@ -448,30 +448,33 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
             # elimination is a rank-1 row update of this level when the
             # change happened ABOVE it (c_glob is zero otherwise —
             # self-gating: an activation's column covers only rows
-            # below its level, a removal's carried column likewise)
-            c_k = lax.slice_in_dim(c_glob, fr, fr + dim, axis=1)
-            w_hot = jnp.einsum("bc,bkc->bk", w_cur[:, :n], hot,
-                               precision=hp)
-            v_b = jnp.einsum("bk,bkj->bj", w_hot, rinv_k,
-                             precision=hp) * livef             # (B, K)
-            g_b = jnp.einsum("bdk,bd->bk", M, c_k,
-                             precision=hp) * livef             # (B, K)
-            beta = jnp.sum(c_k * c_k, axis=1, keepdims=True)   # (B, 1)
-            # geometric-mean balancing keeps the intermediate rank-1
-            # factors at the true perturbation scale sqrt(|g||v|) so a
-            # large-|g|, small-|v| update cannot spuriously NaN the
-            # sequential downdate
-            tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-            ng = jnp.linalg.norm(g_b, axis=1, keepdims=True)
-            nv = jnp.linalg.norm(v_b, axis=1, keepdims=True)
-            alpha = jnp.sqrt((nv + tiny) / (ng + tiny))
-            sb = -sgn                 # −1 activation, +1 removal
-            r2 = jnp.asarray(np.sqrt(0.5), dtype)
-            u_pos = (alpha * g_b + sb * v_b / alpha) * r2
-            u_neg = (alpha * g_b - sb * v_b / alpha) * r2
-            u_vv = jnp.sqrt(beta) * v_b
-            one = jnp.ones_like(sb)
-            us = [(u_k, s1_k), (u_pos, one), (u_neg, -one), (u_vv, -one)]
+            # below its level, a removal's carried column likewise).
+            # Level 0 has nothing above it: its group is structurally
+            # zero, skip it statically.
+            us = [(u_k, s1_k)]
+            if k > 0:
+                c_k = lax.slice_in_dim(c_glob, fr, fr + dim, axis=1)
+                w_hot = jnp.einsum("bc,bkc->bk", w_cur[:, :n], hot,
+                                   precision=hp)
+                v_b = jnp.einsum("bk,bkj->bj", w_hot, rinv_k,
+                                 precision=hp) * livef         # (B, K)
+                g_b = jnp.einsum("bdk,bd->bk", M, c_k,
+                                 precision=hp) * livef         # (B, K)
+                beta = jnp.sum(c_k * c_k, axis=1, keepdims=True)
+                # geometric-mean balancing keeps the intermediate rank-1
+                # factors at the true perturbation scale sqrt(|g||v|) so
+                # a large-|g|, small-|v| update cannot spuriously NaN
+                # the sequential downdate
+                tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+                ng = jnp.linalg.norm(g_b, axis=1, keepdims=True)
+                nv = jnp.linalg.norm(v_b, axis=1, keepdims=True)
+                alpha = jnp.sqrt((nv + tiny) / (ng + tiny))
+                sb = -sgn             # −1 activation, +1 removal
+                r2 = jnp.asarray(np.sqrt(0.5), dtype)
+                one = jnp.ones_like(sb)
+                us += [((alpha * g_b + sb * v_b / alpha) * r2, one),
+                       ((alpha * g_b - sb * v_b / alpha) * r2, -one),
+                       (jnp.sqrt(beta) * v_b, -one)]
         else:
             us = None
         Z, cert = _orthonormalize_z(Gt, live2.astype(dtype), ns_iters,
