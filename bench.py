@@ -211,16 +211,35 @@ def main():
         fetch(run_summary(base, drifts, T=T))
     compile_s = time.perf_counter() - t0
 
+    # Parallel config campaigns (several workers compiling different
+    # configs concurrently through the tunnel) serialize ONLY the timed
+    # phase on an flock so measurements never overlap another worker's
+    # execution; compiles still overlap.
+    lock_path = os.environ.get("LEXLS_BENCH_LOCK")
+    lk = None
+    if lock_path:
+        import fcntl
+
+        lk = open(lock_path, "w")
+        print("# waiting for measurement lock...", file=sys.stderr,
+              flush=True)
+        fcntl.flock(lk, fcntl.LOCK_EX)
+
     med = {}
     summaries = {}
-    for T in Ts:
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fetch(run_summary(base, drifts, T=T))
-            ts.append(time.perf_counter() - t0)
-        med[T] = statistics.median(ts)
-        summaries[T] = out
+    try:
+        for T in Ts:
+            fetch(run_summary(base, drifts, T=T))  # re-warm under lock
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fetch(run_summary(base, drifts, T=T))
+                ts.append(time.perf_counter() - t0)
+            med[T] = statistics.median(ts)
+            summaries[T] = out
+    finally:
+        if lk is not None:
+            lk.close()
 
     xs_ = np.array([T - 1 for T in Ts], dtype=float)
     ys_ = np.array([med[T] for T in Ts])

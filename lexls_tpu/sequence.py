@@ -167,13 +167,16 @@ def solve_sequence_batched_native(
 
 @functools.partial(jax.jit, static_argnames=(
     "struct", "params", "tile", "interpret", "vmem_limit_mb", "compact",
-    "tile_b", "compact_rounds", "tracked"))
+    "tile_b", "compact_rounds", "tracked", "ns_iters", "cert_tol",
+    "loop_cap", "shrink"))
 def solve_sequence_batched_fused(
     A_seq, lb_seq, ub_seq, reg,
     struct: Structure, params: ParametersLexLSI,
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 100,
     compact: int = 1, tile_b: int = 0, compact_rounds: int = 1,
     tracked: bool = False,
+    ns_iters: int = 2, cert_tol: float = None, loop_cap: int = 0,
+    shrink: tuple = (),
 ):
     """Batched warm-started sequences through the fused whole-solve
     Pallas kernel (the throughput tier the bench measures), as a library
@@ -185,7 +188,11 @@ def solve_sequence_batched_fused(
     carried pivot order (:mod:`lexls_tpu.tracker`), falling back to the
     kernel per instance — exceeds the reference's capability (no
     factorization reuse, ``README.md:14``); x/v parity is preserved,
-    trajectories may differ on rejected carries.
+    trajectories may differ on rejected carries.  The tracker knobs
+    ``ns_iters``/``cert_tol``/``loop_cap``/``shrink`` are forwarded to
+    :func:`lexls_tpu.tracker.solve_core_tracked`; ``cert_tol=None``
+    resolves dtype-aware (1e-3 at f32, 1e-9 at f64 — the accepted-carry
+    accuracy contract, :func:`lexls_tpu.tracker.default_cert_tol`).
 
     Same outputs as :func:`solve_sequence_batched` (each (B, T, ...)).
     """
@@ -198,6 +205,7 @@ def solve_sequence_batched_fused(
     kw = dict(struct=struct, params=params, tile=tile, interpret=interpret,
               vmem_limit_mb=vmem_limit_mb, compact=compact, tile_b=tile_b,
               compact_rounds=compact_rounds)
+    tkw = dict(kw, ns_iters=ns_iters, cert_tol=cert_tol)
 
     act = jax.vmap(
         lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
@@ -210,7 +218,7 @@ def solve_sequence_batched_fused(
         st0, carried0 = trk.solve_core_cold_tracked(
             A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
             jnp.zeros((B, n), dtype), jnp.zeros((B, m), dtype),
-            x_guess_specified=False, v0_specified=False, **kw)
+            x_guess_specified=False, v0_specified=False, **tkw)
     else:
         st0, factors0 = solve_core_fused(
             A_seq[:, 0], lb_seq[:, 0], ub_seq[:, 0], c0, s0, n0,
@@ -226,7 +234,7 @@ def solve_sequence_batched_fused(
         if tracked:
             st, carried = trk.solve_core_tracked(
                 A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype),
-                carried=carried, **kw)
+                carried=carried, loop_cap=loop_cap, shrink=shrink, **tkw)
         else:
             st = solve_core_fused(
                 A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype), reg,

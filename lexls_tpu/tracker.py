@@ -77,6 +77,20 @@ def kmax_of(struct: Structure) -> int:
     return max(1, max((min(d, n) for d in struct.lexlse_dims), default=1))
 
 
+def default_cert_tol(dtype) -> float:
+    """Dtype-aware carried-frame certificate tolerance.
+
+    ``cert_tol`` IS the accepted-carry x-accuracy contract (the trailing
+    acceptance check floors at ``8·cert·colnorm``), so the default must
+    track the dtype's achievable accuracy: 1e-3 suits f32 (eps·κ ≈ 1e-5
+    on the north-star problems), but at f64 the reference meets 1e-12-ish
+    tolerances in every configuration (``typedefs.h:118-124``) — an f64
+    carry accepted at 1e-3 shows up as ~1e-3 residual error (the round-4
+    red suite).  Two Newton–Schulz passes contract 1e-3 drift to ~1e-12,
+    so f64 carries still pass at 1e-9 and stay on the fast path."""
+    return 1e-3 if jnp.finfo(dtype).bits <= 32 else 1e-9
+
+
 def bootstrap_carried(factors: Tuple[jax.Array, jax.Array, jax.Array]) -> Carried:
     """Build the carried state from the fused kernel's final-factor
     export (``solve_core_fused(..., return_factors=True)``): invert the
@@ -882,7 +896,7 @@ def solve_core_tracked(
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
-    ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
+    ns_iters: int = 2, cert_tol: float = None, ext_steps: int = 1,
     reg=None, loop_cap: int = 0, shrink: tuple = (),
     debug_fall: bool = False,
 ):
@@ -922,6 +936,8 @@ def solve_core_tracked(
     kernel).
     """
     _check_tracked_config(params, reg, "solve_core_tracked")
+    if cert_tol is None:
+        cert_tol = default_cert_tol(A.dtype)
     with jax.default_matmul_precision("float32"):
         s0 = jax.vmap(
             lambda a, l, u, c, st, ns, x, v: _initial_state(
@@ -1003,7 +1019,14 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
     identifying the one constraint row whose activation state differs
     between the carried factorization and ``s0``'s working set (the
     cold-start kernel handover); zeros mean "carry matches exactly".
-    ``loop_cap`` > 0 bounds the tracker loop to that many trips — the
+    Limitation: chg0 carries no ``chg_c``/``chg_w`` (the committing-trip
+    Lp/W of the change do not exist at a bootstrap), so a bootstrap
+    REMOVAL's below-level elimination change cannot be absorbed
+    analytically — such instances typically fail the certificate at
+    trip 1 and finish in the kernel (safe, slow path only).
+    ``loop_cap`` > 0 bounds the tracker loop to that many trips
+    (with ``shrink`` set, the full-width trip plus the slab trips count
+    against the cap: slab sizes beyond ``loop_cap - 1`` are dropped) — the
     remaining alive instances fall into the fused kernel, whose per-TILE
     early exit prices stragglers far better than this full-batch loop
     (the handover argsort already clusters them into the leading
@@ -1033,11 +1056,7 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
         ofs += d
     iota_m = jnp.arange(m, dtype=jnp.int32)[None, :]
     unknown = int(TerminationStatus.UNKNOWN)
-    # static level-of-row map over the general (post-bounds) rows
-    lvl_map_np = np.zeros((max(m - d0, 1),), np.int32)
-    for k, (fr, dim) in enumerate(zip(offsets, struct.lexlse_dims)):
-        lvl_map_np[fr:fr + dim] = k
-    lvl_map = jnp.asarray(lvl_map_np, jnp.float32)
+    lvl_map = _lvl_map_of(struct)
 
     with jax.default_matmul_precision("float32"):
 
@@ -1052,18 +1071,27 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 return any_alive & (trip < loop_cap)
             return any_alive
 
-        def make_body(A_s):
+        def make_body(A_s, nochg=False):
             """The tracker trip over a (leading) slab: ``A_s`` fixes the
             slab's batch width; the same math runs at every pyramid
             level (per-instance reductions only — results are
-            independent of slab width)."""
+            independent of slab width).
+
+            ``nochg=True`` statically drops the change-absorption inputs
+            from the factorization (``chg=None`` — no rank-1 Gram
+            updates, no below-level absorption einsums): valid for the
+            FIRST trip of a warm solve, whose carry comes from the
+            previous solve's committed final state, so no working-set
+            change is pending by construction (``chg0 is None``).  The
+            commit bookkeeping (saving this trip's change for the next
+            trip) is unaffected."""
             Bs = A_s.shape[0]
 
             def body(carry):
-                return _body_impl(carry, A_s, Bs)
+                return _body_impl(carry, A_s, Bs, nochg)
             return body
 
-        def _body_impl(carry, A, B):
+        def _body_impl(carry, A, B, nochg=False):
             if debug_fall:
                 (s, rinv_c, pos_c, ranks_c, fall, chg_hot, chg_sign,
                  chg_c, chg_w, trip, fall_trip, fall_why) = carry
@@ -1087,22 +1115,25 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             # its level, and its Gram sign; simple-bounds changes
             # (rows < d0) get lv = −1 / sgn = 0: no analytic absorption,
             # the certificate decides
-            hot_g = lax.slice_in_dim(chg_hot, d0, m, axis=1)   # (B, mg)
-            has_g = jnp.sum(hot_g, axis=1, keepdims=True)      # (B, 1)
-            a_row = jnp.einsum(
-                "bm,bmn->bn", hot_g,
-                jnp.where(fixed_mask[:, None, :], 0.0,
-                          A[:, d0:, :]), precision=lax.Precision.HIGHEST)
-            lv = jnp.where(
-                has_g > 0,
-                jnp.round(jnp.einsum("bm,m->b", hot_g, lvl_map)
-                          )[:, None].astype(jnp.int32), -1)
-            sgn = chg_sign * has_g
+            if nochg:
+                chg_arg = None
+            else:
+                hot_g = lax.slice_in_dim(chg_hot, d0, m, axis=1)  # (B, mg)
+                has_g = jnp.sum(hot_g, axis=1, keepdims=True)     # (B, 1)
+                a_row = jnp.einsum(
+                    "bm,bmn->bn", hot_g,
+                    jnp.where(fixed_mask[:, None, :], 0.0,
+                              A[:, d0:, :]), precision=lax.Precision.HIGHEST)
+                lv = jnp.where(
+                    has_g > 0,
+                    jnp.round(jnp.einsum("bm,m->b", hot_g, lvl_map)
+                              )[:, None].astype(jnp.int32), -1)
+                sgn = chg_sign * has_g
+                chg_arg = (a_row, hot_g, lv, sgn, chg_c, chg_w)
             ok, stash, fcs, pos_n, ranks_n, rinv_n, why = _factorize_carried(
                 Agz, bgz, rinv_c, pos_c, ranks_c, struct, params,
                 ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps,
-                reg_factors=reg,
-                chg=(a_row, hot_g, lv, sgn, chg_c, chg_w))
+                reg_factors=reg, chg=chg_arg)
 
             x_star = _hot_solve(stash, fcs, pos_n, fixed_mask, fixed_val,
                                 struct)
@@ -1264,15 +1295,22 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 raise LexLSError(
                     f"shrink sizes must be strictly decreasing and < B: "
                     f"{sizes} (B={B})")
-            # trip 1 at full width (every warm solve factorizes at least
-            # once), then compact-and-shrink one trip per slab size.
+            if loop_cap:
+                # honor the documented trip bound: the full-width trip
+                # is trip 1, so at most loop_cap-1 slab trips may run
+                # (the final while_loop's cond enforces the rest)
+                sizes = sizes[:max(0, loop_cap - 1)]
+            # trip 1 at full width (every warm solve factorizes at
+            # least once; a warm carry has no pending change, so the
+            # absorption machinery drops out statically — make_body
+            # nochg), then compact-and-shrink one trip per slab size.
             # All slab moves happen on ONE packed (B, F) buffer — the
             # per-leaf permute version cost ~90 matmul ops per level
             # (op-issue bound) and erased the compaction win.  The tail
             # leaves (state sans chg) are packed as a PREFIX so the
             # parked tail is one slice + matmul and stays packed until
             # the unwind.
-            carry = make_body(A)(carry0)
+            carry = make_body(A, nochg=chg0 is None)(carry0)
             stack = []
             A_cur = A
             fdt = A.dtype
@@ -1309,9 +1347,14 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                 buf_t = buf_t.at[:, w5 - 1].max(ov_t)
                 stack.append((hot, buf_t))
                 A_cur = _permute_rows(A_cur, hot_h)
-                carry = make_body(A_cur)(head5 + (chg_hot_h, chg_sign_h,
-                                                  chg_c_h, chg_w_h,
-                                                  trip_c))
+                head_carry = head5 + (chg_hot_h, chg_sign_h,
+                                      chg_c_h, chg_w_h, trip_c)
+                # a slab trip with no alive instance is pure waste (the
+                # warm-solve common case after trip 1-2) — real branch,
+                # this function is never vmapped and the body is pure
+                # XLA (no pallas), so lax.cond skips it entirely
+                carry = lax.cond(jnp.any(alive), make_body(A_cur),
+                                 lambda c: c, head_carry)
             # unbounded finish on the smallest slab (loop_cap still
             # bounds total trips if set)
             carry = lax.while_loop(cond, make_body(A_cur), carry)
@@ -1330,7 +1373,13 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             s, rinv_c, pos_c, ranks_c, fall = _unpack_tree(
                 buf_head, meta5)
         else:
-            out = lax.while_loop(cond, make_body(A), carry0)
+            # peel trip 1: a warm carry has no pending working-set
+            # change (chg0 is None), so its absorption machinery drops
+            # out statically; the while_loop continues with the general
+            # body from trip 2 (the peel preserves trip counting — the
+            # body increments `trip`, and cond still bounds loop_cap)
+            carry1 = make_body(A, nochg=chg0 is None)(carry0)
+            out = lax.while_loop(cond, make_body(A), carry1)
             s, rinv_c, pos_c, ranks_c, fall = out[:5]
             fall_dbg = out[10:] if debug_fall else None
             if loop_cap:
@@ -1442,7 +1491,7 @@ def solve_core_cold_tracked(
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 0,
     compact: int = 0, tile_b: int = 0, panel_unroll: int = 1,
     compact_rounds: int = 1,
-    ns_iters: int = 2, cert_tol: float = 1e-3, ext_steps: int = 1,
+    ns_iters: int = 2, cert_tol: float = None, ext_steps: int = 1,
     reg=None, debug_fall: bool = False,
 ):
     """Cold-start batched solve through the tracker loop.
@@ -1461,6 +1510,8 @@ def solve_core_cold_tracked(
     pivot chain entirely.
     """
     _check_tracked_config(params, reg, "solve_core_cold_tracked")
+    if cert_tol is None:
+        cert_tol = default_cert_tol(A.dtype)
     reg_mode = params.regularization_type != RegularizationType.NONE
     from .ops.fused import fused_active_set
 

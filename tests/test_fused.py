@@ -232,47 +232,77 @@ def test_fused_cycling_state(trial):
                                atol=0, err_msg=str(trial))
 
 
-def test_fused_cycling_relax():
-    """A degenerate problem engineered to re-add a just-removed
-    constraint must trigger the SAME relaxation (lb/ub perturbed by
+# Deterministic cycling fixtures (VERDICT r4 item 4): random hierarchies
+# essentially never cycle at f64, but RANK-DEFICIENT levels do — removing
+# a constraint re-shapes the realized pivot set, the (non-least-norm)
+# basic solution jumps in a nullspace direction, and the ratio test
+# re-adds the just-removed row (`cycling.h:32-65`'s REMOVE->ADD pair).
+# Found by tools/find_cycle.py's structured batch search; frozen
+# bit-exact in tests/golden/cycling_fixtures.npz so the test never
+# searches.  Shape: n=4, dims=(2, 3).  The npz's second instance
+# (relax_to_max_counter_*) sustains a 50-relaxation cycle but only at
+# tol_wrong_sign_lambda=1e-12 with the driving lambda at -3.2e-12 —
+# a knife-edge the two tiers legitimately resolve differently, so the
+# parity test instead exercises the over-counter branch on the robust
+# fixture via cycling_max_counter=0 (first detection terminates with
+# PROBLEM_SOLVED_CYCLING_HANDLING, ``cycling.h:42-45``).
+import os
+
+_CYC_NPZ = os.path.join(os.path.dirname(__file__), "golden",
+                        "cycling_fixtures.npz")
+
+
+@pytest.mark.parametrize("fix", ["relax_once", "over_max_counter"])
+def test_fused_cycling_relax(fix):
+    """The engineered degenerate fixture re-adds a just-removed
+    constraint and must trigger the SAME relaxation (lb/ub perturbed by
     cycling_relax_step, counter incremented, log entry flagged) in the
-    kernel as in the XLA tier."""
-    found = None
-    for seed in range(60):
-        rng = np.random.default_rng(31000 + seed)
-        n = int(rng.integers(4, 9))
-        dims = [int(rng.integers(2, 6)) for _ in range(int(rng.integers(2, 4)))]
-        prob = gen.random_inequality_hierarchy(
-            rng, n, dims, equality_fraction=0.2, tight_fraction=0.8)
+    kernel as in the XLA tier — including termination with
+    PROBLEM_SOLVED_CYCLING_HANDLING when the counter is exhausted."""
+    from lexls_tpu.sequence import _device_initial_activation
+
+    fz = np.load(_CYC_NPZ)
+    A, lb, ub, guess = (fz["relax_once_A"], fz["relax_once_lb"],
+                        fz["relax_once_ub"], fz["relax_once_guess"])
+    if fix == "relax_once":
         params = T.ParametersLexLSI(max_number_of_factorizations=60,
                                     cycling_handling_enabled=True,
                                     log_working_set_enabled=True)
-        struct = jli.Structure.of(prob)
-        dt = jnp.float64
-        m = prob.n_ctr
-        c0, s0, n0, xz, v0 = batched_initial_arrays(prob, 1, dt)
-        As = jnp.asarray(prob.A[None], dt)
-        lbs = jnp.asarray(prob.lb[None], dt)
-        ubs = jnp.asarray(prob.ub[None], dt)
-        reg = jnp.asarray(prob.regularization, dt)
-        ref = solve_batched(As, lbs, ubs, c0, s0, n0, xz, v0, reg,
-                            struct=struct, params=params,
-                            x_guess_specified=False)
-        if int(np.asarray(ref.cyc_counter)[0]) > 0:
-            found = (prob, params, As, lbs, ubs, c0, s0, n0, xz, v0, reg,
-                     struct, ref)
-            break
-    if found is None:
-        pytest.skip("no cycling trajectory found in the seed sweep")
-    (prob, params, As, lbs, ubs, c0, s0, n0, xz, v0, reg, struct,
-     ref) = found
+        want_counter, want_status = 1, int(T.TerminationStatus.PROBLEM_SOLVED)
+    else:
+        params = T.ParametersLexLSI(max_number_of_factorizations=60,
+                                    cycling_handling_enabled=True,
+                                    log_working_set_enabled=True,
+                                    cycling_max_counter=0)
+        want_counter = 0
+        want_status = int(T.TerminationStatus.PROBLEM_SOLVED_CYCLING_HANDLING)
+
+    prob = T.InequalityHierarchy(A=A, lb=lb, ub=ub, dims=(2, 3), n_var=4)
+    struct = jli.Structure.of(prob)
+    dt = jnp.float64
+    import jax
+
+    act = jax.vmap(
+        lambda a, l, u, g: _device_initial_activation(a, l, u, g, struct))
+    As = jnp.asarray(A[None], dt)
+    lbs = jnp.asarray(lb[None], dt)
+    ubs = jnp.asarray(ub[None], dt)
+    c0, s0, n0 = act(As, lbs, ubs, jnp.asarray(guess[None]))
+    xz, v0 = jnp.zeros((1, 4), dt), jnp.zeros((1, 5), dt)
+    reg = jnp.asarray(prob.regularization, dt)
+    ref = solve_batched(As, lbs, ubs, c0, s0, n0, xz, v0, reg,
+                        struct=struct, params=params,
+                        x_guess_specified=False)
+    assert int(np.asarray(ref.cyc_counter)[0]) == want_counter
+    assert int(np.asarray(ref.status)[0]) == want_status
+
     fus = jli.solve_core_fused(
         As, lbs, ubs, c0, s0, n0, xz, v0, reg, struct=struct,
         params=params, x_guess_specified=False, v0_specified=False,
         tile=1, interpret=True)
-    assert int(np.asarray(fus.cyc_counter)[0]) > 0
-    _assert_match(ref, fus, "cyc")
-    _assert_log_match(ref, fus, "cyc")
+    assert int(np.asarray(fus.cyc_counter)[0]) == want_counter
+    _assert_match(ref, fus, fix)
+    _assert_log_match(ref, fus, fix)
     np.testing.assert_allclose(np.asarray(fus.lb), np.asarray(ref.lb),
                                atol=0)
     np.testing.assert_allclose(np.asarray(fus.ub), np.asarray(ref.ub),

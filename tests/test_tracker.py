@@ -96,6 +96,16 @@ def _drive(trial, kicks, B=8, loop_cap=0, shrink=()):
         x_prev, ct_prev = stt.x, stt.ctr_type
 
 
+def test_default_cert_tol_dtype_aware():
+    """The accepted-carry accuracy contract tracks the dtype (VERDICT
+    round-4 item 1): f32 keeps the 1e-3 envelope, f64 defaults to 1e-9
+    so the tracked tier meets the reference's f64 tolerances
+    (``typedefs.h:118-124``) without callers plumbing cert_tol."""
+    assert tracker.default_cert_tol(jnp.float32) == 1e-3
+    assert tracker.default_cert_tol(jnp.bfloat16) == 1e-3
+    assert tracker.default_cert_tol(jnp.float64) == 1e-9
+
+
 def test_orthonormalize_z_drift_contract():
     """First-order triangular passes (round-3 contract): a DRIFT-SIZED
     E = G - I contracts quadratically per pass (1e-3 -> ~1e-9 in two),
