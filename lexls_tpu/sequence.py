@@ -168,15 +168,15 @@ def solve_sequence_batched_native(
 @functools.partial(jax.jit, static_argnames=(
     "struct", "params", "tile", "interpret", "vmem_limit_mb", "compact",
     "tile_b", "compact_rounds", "tracked", "ns_iters", "cert_tol",
-    "loop_cap", "shrink"))
+    "loop_cap", "shrink", "handover_slab"))
 def solve_sequence_batched_fused(
     A_seq, lb_seq, ub_seq, reg,
     struct: Structure, params: ParametersLexLSI,
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 100,
     compact: int = 1, tile_b: int = 0, compact_rounds: int = 1,
     tracked: bool = False,
-    ns_iters: int = 2, cert_tol: float = None, loop_cap: int = 0,
-    shrink: tuple = (),
+    ns_iters: int = 3, cert_tol: float = None, loop_cap: int = 0,
+    shrink: tuple = (), handover_slab: int = 0,
 ):
     """Batched warm-started sequences through the fused whole-solve
     Pallas kernel (the throughput tier the bench measures), as a library
@@ -193,6 +193,10 @@ def solve_sequence_batched_fused(
     :func:`lexls_tpu.tracker.solve_core_tracked`; ``cert_tol=None``
     resolves dtype-aware (1e-3 at f32, 1e-9 at f64 — the accepted-carry
     accuracy contract, :func:`lexls_tpu.tracker.default_cert_tol`).
+    Measured-best throughput config on the north-star workload (TPU
+    v5e, round-5 campaign, docs/performance.md): ``loop_cap=1`` with
+    the default ``ns_iters=3`` — one tracker trip, kernel tail
+    (58.3K solves/s at B=384 vs 29.5K for the unbounded default).
 
     Same outputs as :func:`solve_sequence_batched` (each (B, T, ...)).
     """
@@ -234,7 +238,8 @@ def solve_sequence_batched_fused(
         if tracked:
             st, carried = trk.solve_core_tracked(
                 A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype),
-                carried=carried, loop_cap=loop_cap, shrink=shrink, **tkw)
+                carried=carried, loop_cap=loop_cap, shrink=shrink,
+                handover_slab=handover_slab, **tkw)
         else:
             st = solve_core_fused(
                 A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype), reg,

@@ -332,6 +332,64 @@ def _chol_solve_masked(D, d, act):
     return y * act
 
 
+def _cgls_tikhonov_batched(A1, Sm, s_vec, c_k, factor, act, iters,
+                           tol=1e-12):
+    """Batched CGLS on the stacked damped system
+    ``min ||A1 y − c||² + f²||Sm y − s||² + f²||y||²`` over the active
+    coordinates (``regularization._tikhonov_cg`` ≙ ``lexlse.h:2256-2279``,
+    hand-batched over the leading axis).
+
+    Krylov-frame invariance: the iterates touch the data only through
+    ``A_augᵀA_aug`` products and scalar norms, all invariant under an
+    orthonormal change of the row frame — so CG in the tracker's
+    NS-orthonormalized frame produces the same y* sequence (up to
+    roundoff) as the reference staircase frame, and the tracked tier's
+    TIKHONOV_CG rhs matches the XLA tier's.
+    """
+    hp = lax.Precision.HIGHEST
+    dtype = A1.dtype
+    tol = jnp.asarray(tol, dtype)
+
+    def matvec(y):
+        return (jnp.einsum("bkn,bn->bk", A1, y, precision=hp),
+                factor * jnp.einsum("brn,bn->br", Sm, y, precision=hp),
+                factor * y)
+
+    def rmatvec(r1, r2, r3):
+        return (jnp.einsum("bkn,bk->bn", A1, r1, precision=hp)
+                + factor * jnp.einsum("brn,br->bn", Sm, r2, precision=hp)
+                + factor * r3) * act
+
+    def sq(*parts):
+        return sum(jnp.sum(q * q, axis=1) for q in parts)       # (B,)
+
+    x = jnp.zeros_like(act)
+    r1, r2, r3 = c_k, factor * s_vec, jnp.zeros_like(act)
+    s = rmatvec(r1, r2, r3)
+    p = s
+    gamma = sq(s)
+
+    def body(i, carry):
+        x, r1, r2, r3, p, gamma = carry
+        live = jnp.sqrt(gamma) > tol
+        q1, q2, q3 = matvec(p)
+        qq = sq(q1, q2, q3)
+        alpha = jnp.where((qq > 0) & live, gamma / qq, 0.0)     # (B,)
+        x = x + alpha[:, None] * p
+        r1 = r1 - alpha[:, None] * q1
+        r2 = r2 - alpha[:, None] * q2
+        r3 = r3 - alpha[:, None] * q3
+        s = rmatvec(r1, r2, r3)
+        gamma_new = sq(s)
+        beta = jnp.where(gamma > 0, gamma_new / gamma, 0.0)
+        p = jnp.where(live[:, None], s + beta[:, None] * p, p)
+        gamma = jnp.where(live, gamma_new, gamma)
+        return (x, r1, r2, r3, p, gamma)
+
+    x, *_ = lax.fori_loop(0, iters, body, (x, r1, r2, r3, p, gamma))
+    return x * act
+
+
 def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
                        params: ParametersLexLSI, *, ns_iters: int,
                        cert_tol: float, ext_steps: int,
@@ -654,13 +712,25 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
             A1 = W[:, :, :n] * act[:, None, :]
             Sm = nsb[:, :, :n] * elim[:, :, None] * act[:, None, :]
             s_vec = nsb[:, :, n] * elim
-            D = (jnp.einsum("bki,bkj->bij", A1, A1, precision=hp)
-                 + mu * jnp.einsum("bri,brj->bij", Sm, Sm, precision=hp)
-                 + mu * jnp.eye(n, dtype=dtype))
-            d_vec = (jnp.einsum("bkn,bk->bn", A1, c_orig, precision=hp)
-                     + mu * jnp.einsum("brn,br->bn", Sm, s_vec,
-                                       precision=hp))
-            y_reg = _chol_solve_masked(D, d_vec, act > 0)
+            if params.regularization_type == RegularizationType.TIKHONOV_CG:
+                # fixed-trip CGLS instead of the direct Cholesky — the
+                # reference's cg_tikhonov (``lexlse.h:2367-2430``); the
+                # truncated-CG y* differs from the direct solve, so
+                # matching the XLA tier requires running the same
+                # iteration (frame-invariant, see _cgls_tikhonov_batched)
+                rows_live_f = (iota_k[None, :]
+                               < rank_k[:, None]).astype(dtype)
+                y_reg = _cgls_tikhonov_batched(
+                    A1, Sm, s_vec, c_orig * rows_live_f, factor, act,
+                    params.max_number_of_CG_iterations)
+            else:
+                D = (jnp.einsum("bki,bkj->bij", A1, A1, precision=hp)
+                     + mu * jnp.einsum("bri,brj->bij", Sm, Sm, precision=hp)
+                     + mu * jnp.eye(n, dtype=dtype))
+                d_vec = (jnp.einsum("bkn,bk->bn", A1, c_orig, precision=hp)
+                         + mu * jnp.einsum("brn,br->bn", Sm, s_vec,
+                                           precision=hp))
+                y_reg = _chol_solve_masked(D, d_vec, act > 0)
             c_new = jnp.einsum("bkn,bn->bk", A1, y_reg, precision=hp)
             do_reg = (factor != 0.0) & (rank_k > 0)
             rows_live = iota_k[None, :] < rank_k[:, None]
@@ -887,7 +957,7 @@ def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
     static_argnames=("struct", "params", "tile", "interpret",
                      "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
                      "compact_rounds", "ns_iters", "cert_tol", "ext_steps",
-                     "loop_cap", "shrink", "debug_fall"),
+                     "loop_cap", "shrink", "handover_slab", "debug_fall"),
 )
 def solve_core_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -898,6 +968,7 @@ def solve_core_tracked(
     compact_rounds: int = 1,
     ns_iters: int = 2, cert_tol: float = None, ext_steps: int = 1,
     reg=None, loop_cap: int = 0, shrink: tuple = (),
+    handover_slab: int = 0,
     debug_fall: bool = False,
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
@@ -950,17 +1021,20 @@ def solve_core_tracked(
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
         cert_tol=cert_tol, ext_steps=ext_steps, loop_cap=loop_cap,
-        shrink=shrink, debug_fall=debug_fall,
+        shrink=shrink, handover_slab=handover_slab, debug_fall=debug_fall,
         reg=None if params.regularization_type == RegularizationType.NONE
         else reg)
 
 
 def _check_tracked_config(params: ParametersLexLSI, reg, name: str):
     if params.regularization_type not in (
-            RegularizationType.NONE, RegularizationType.TIKHONOV):
+            RegularizationType.NONE, RegularizationType.TIKHONOV,
+            RegularizationType.TIKHONOV_CG):
         raise LexLSError(
-            f"{name}: only NONE/TIKHONOV regularization supported")
-    if params.regularization_type == RegularizationType.TIKHONOV:
+            f"{name}: only NONE/TIKHONOV/TIKHONOV_CG regularization "
+            "supported")
+    if params.regularization_type in (RegularizationType.TIKHONOV,
+                                      RegularizationType.TIKHONOV_CG):
         if reg is None:
             raise LexLSError(f"{name}: TIKHONOV needs reg factors")
         if params.variable_regularization_factor != 0.0:
@@ -1010,7 +1084,7 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                   interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
                   compact_rounds, ns_iters, cert_tol, ext_steps, reg=None,
                   chg0=None, loop_cap: int = 0, shrink: tuple = (),
-                  debug_fall: bool = False):
+                  handover_slab: int = 0, debug_fall: bool = False):
     """The tracker while-loop + kernel handover, from an already-built
     batched state (phase 1 done, or a mid-solve state from a capped
     kernel phase — the cold-start driver).
@@ -1421,15 +1495,18 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
             return final, carried_new
 
         if reg is None:
-            def do_handover(_):
+            def kernel_on(hot_h):
+                """Run the fused kernel on the ``hot_h``-selected slab
+                (S, B) — S = B reproduces the full-width handover —
+                then scatter results/factors back to full width with
+                the transpose (exact: 0/1 weights at HIGHEST).  The
+                tri-inv bootstrap runs at slab width (the point of the
+                slab: the permute matmuls, the kernel grid, and the
+                bootstrap all shrink from B to S rows)."""
                 it0 = s.it
                 s_in = dataclasses.replace(
                     s, n_fact=jnp.where(resolved, max_fact, s.n_fact))
-                order = jnp.argsort(resolved)
-                iota_b = jnp.arange(B, dtype=jnp.int32)
-                hot_b = (order[:, None] == iota_b[None, :]).astype(
-                    jnp.float32)
-                g = lambda arr: _permute_rows(arr, hot_b)
+                g = lambda arr: _permute_rows(arr, hot_h)
                 s_perm = jax.tree_util.tree_map(g, s_in)
                 st_k, factors_k = _fused_tail(
                     g(A), s_perm, g(it0), struct=struct, params=params,
@@ -1437,11 +1514,44 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                     vmem_limit_mb=vmem_limit_mb, compact=compact,
                     tile_b=tile_b, panel_unroll=panel_unroll,
                     compact_rounds=compact_rounds, return_factors=True)
-                hot_t = hot_b.T
+                car_k = bootstrap_carried(factors_k)        # slab width
+                hot_t = hot_h.T
                 gi = lambda arr: _permute_rows(arr, hot_t)
                 st_k = jax.tree_util.tree_map(gi, st_k)
-                factors_k = jax.tree_util.tree_map(gi, factors_k)
-                return merge(st_k, bootstrap_carried(factors_k))
+                car_k = jax.tree_util.tree_map(gi, car_k)
+                # rows outside the slab scatter to zero — merge() only
+                # reads kernel values where ~resolved, and the slab
+                # branch is entered only when every unresolved instance
+                # fits the slab
+                return merge(st_k, car_k)
+
+            def do_handover(_):
+                order = jnp.argsort(resolved)               # unresolved first
+                iota_b = jnp.arange(B, dtype=jnp.int32)
+                hot_b = (order[:, None] == iota_b[None, :]).astype(
+                    jnp.float32)
+                S = handover_slab
+                if S <= 0 or S >= B:
+                    return kernel_on(hot_b)
+                # slab handover: the straggler count is data-dependent;
+                # overflow (> S unresolved — rare by sizing) takes the
+                # full-width branch.  Real runtime branch (this driver
+                # is never vmapped); results are slab-size independent.
+                n_unres = jnp.sum(jnp.logical_not(resolved))
+                if interpret:
+                    # pallas interpret mode inside lax.cond is not
+                    # supported on CPU: run both branches, select — the
+                    # CPU parity path for the slab logic
+                    slab = kernel_on(hot_b[:S])
+                    full = kernel_on(hot_b)
+                    pred = n_unres <= S
+                    return jax.tree_util.tree_map(
+                        lambda a_s, a_f: jnp.where(pred, a_s, a_f),
+                        slab, full)
+                return lax.cond(
+                    n_unres <= S,
+                    lambda _: kernel_on(hot_b[:S]),
+                    lambda _: kernel_on(hot_b), None)
 
             def skip_handover(_):
                 return s, carried_t

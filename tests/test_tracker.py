@@ -33,7 +33,8 @@ def _level_norms(v, struct):
     return np.stack(out, axis=1)
 
 
-def _drive(trial, kicks, B=8, loop_cap=0, shrink=()):
+def _drive(trial, kicks, B=8, loop_cap=0, shrink=(), handover_slab=0,
+           tile=None):
     rng = np.random.default_rng(900 + trial)
     n = int(rng.integers(6, 14))
     p = int(rng.integers(2, 5))
@@ -84,8 +85,8 @@ def _drive(trial, kicks, B=8, loop_cap=0, shrink=()):
                             x_guess_specified=True)
         stt, carried = tracker.solve_core_tracked(
             A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
-            struct=struct, params=params, tile=B, interpret=True,
-            loop_cap=loop_cap, shrink=shrink)
+            struct=struct, params=params, tile=tile or B, interpret=True,
+            loop_cap=loop_cap, shrink=shrink, handover_slab=handover_slab)
         np.testing.assert_array_equal(
             np.asarray(stt.status), np.asarray(ref.status),
             err_msg=f"trial {trial} step {t}")
@@ -94,6 +95,44 @@ def _drive(trial, kicks, B=8, loop_cap=0, shrink=()):
             _level_norms(np.asarray(ref.v), struct),
             atol=1e-7, err_msg=f"trial {trial} step {t}")
         x_prev, ct_prev = stt.x, stt.ctr_type
+
+
+def test_cgls_batched_matches_reference_tier():
+    """tracker._cgls_tikhonov_batched ≡ regularization._tikhonov_cg on
+    identical level data (same frame): the hand-batched CGLS must follow
+    the reference tier's iterate sequence.  Tolerance 1e-7: fixed-trip
+    CGLS without reorthogonalization amplifies summation-order roundoff
+    ~1e7x (vdot vs batched-sum), measured ~7e-9 at f64 on this data."""
+    from lexls_tpu import regularization as R
+
+    rng = np.random.default_rng(0)
+    n, K, B = 12, 6, 5
+    factor = 0.05
+    params_e = T.ParametersLexLSE(
+        regularization_type=T.RegularizationType.TIKHONOV_CG,
+        max_number_of_CG_iterations=10)
+    first_col, rank = 3, 4
+    refs, A1s, Sms, svs, cks, acts = [], [], [], [], [], []
+    for _ in range(B):
+        lr = jnp.asarray(rng.standard_normal((K, n + 1)))
+        ns = jnp.asarray(rng.standard_normal((n, n + 1)))
+        refs.append(np.asarray(R._tikhonov_cg(
+            params_e, lr, ns, first_col, rank, first_col + rank,
+            jnp.asarray(factor), n)))
+        RT, rhs_k, S, s = R._level_blocks(lr, ns, first_col, rank,
+                                          first_col + rank, n)
+        A1s.append(np.asarray(RT[:, :n]))
+        cks.append(np.asarray(rhs_k))
+        Sms.append(np.asarray(S[:, :n]))
+        svs.append(np.asarray(s))
+        acts.append((np.arange(n) >= first_col).astype(float))
+    y = tracker._cgls_tikhonov_batched(
+        jnp.asarray(np.stack(A1s)), jnp.asarray(np.stack(Sms)),
+        jnp.asarray(np.stack(svs)), jnp.asarray(np.stack(cks)),
+        jnp.asarray(factor), jnp.asarray(np.stack(acts)), 10)
+    new_rhs = jnp.einsum("bkn,bn->bk", jnp.asarray(np.stack(A1s)), y)
+    np.testing.assert_allclose(np.asarray(new_rhs), np.stack(refs),
+                               atol=1e-7)
 
 
 def test_default_cert_tol_dtype_aware():
@@ -252,6 +291,19 @@ def test_tracked_loop_cap_handover(trial, cap):
     XLA tier regardless of where the handover lands.  Large kicks force
     multi-iteration solves so the cap actually binds."""
     _drive(trial, kicks=(0.05, 0.3, 0.05), loop_cap=cap)
+
+
+@pytest.mark.parametrize("trial,slab,tile", [
+    (0, 4, 2), (1, 4, 4), (2, 2, 2), (3, 6, 2),
+])
+def test_tracked_handover_slab(trial, slab, tile):
+    """Slab handover (round 5): only a leading slab of compacted
+    stragglers ships to the fused kernel (``handover_slab``) — the
+    permutes, kernel grid, and tri-inv bootstrap shrink to the slab.
+    Results must equal the XLA tier for every slab size, including
+    overflow (more stragglers than the slab → full-width branch) —
+    large kicks force kernel handovers on most steps."""
+    _drive(trial, kicks=(0.05, 0.3, 0.05), handover_slab=slab, tile=tile)
 
 
 @pytest.mark.parametrize("trial,shrink", [
@@ -589,17 +641,27 @@ def test_cold_tracked_matches_xla(trial):
         _level_norms(np.asarray(ref.v), struct), atol=1e-7)
 
 
-@pytest.mark.parametrize("trial", range(3))
-def test_reg_tracked_cold(trial):
-    """Regularized (TIKHONOV) tracker on the config-3 shape: statuses
-    match the XLA tier, and every tracker-solved endpoint is a FIXED
-    POINT of the reference iteration (one `_verify_working_set` from the
-    endpoint declares solved with no working-set change and unchanged
-    v).  Under regularization the active-set method is heuristic —
-    rank-deficient tie-breaks legitimately diverge between arithmetic
-    paths — so terminal-point validity, not norm equality, is the
-    criterion (the reference itself can cycle here, which is why
-    cycling handling exists, ``cycling.h``)."""
+@pytest.mark.parametrize("trial,reg_type", [
+    (0, T.RegularizationType.TIKHONOV),
+    (1, T.RegularizationType.TIKHONOV),
+    (2, T.RegularizationType.TIKHONOV),
+    # TIKHONOV_CG: the tracker's in-loop damped solve runs the same
+    # fixed-trip CGLS as the XLA tier (frame-invariant Krylov iterates,
+    # tracker._cgls_tikhonov_batched)
+    (0, T.RegularizationType.TIKHONOV_CG),
+    (1, T.RegularizationType.TIKHONOV_CG),
+])
+def test_reg_tracked_cold(trial, reg_type):
+    """Regularized (TIKHONOV / TIKHONOV_CG) tracker on the config-3
+    shape: statuses match the XLA tier, and every tracker-solved
+    endpoint is a FIXED POINT of the reference iteration (one
+    `_verify_working_set` from the endpoint declares solved with no
+    working-set change and unchanged v).  Under regularization the
+    active-set method is heuristic — rank-deficient tie-breaks
+    legitimately diverge between arithmetic paths — so terminal-point
+    validity, not norm equality, is the criterion (the reference itself
+    can cycle here, which is why cycling handling exists,
+    ``cycling.h``)."""
     import dataclasses as dc
 
     from lexls_tpu.lexlsi import _verify_working_set
@@ -612,7 +674,7 @@ def test_reg_tracked_cold(trial):
     prob.regularization = np.full(6, 0.05)
     struct = jli.Structure.of(prob)
     params = T.ParametersLexLSI(
-        regularization_type=T.RegularizationType.TIKHONOV,
+        regularization_type=reg_type,
         max_number_of_factorizations=64)
     B, dt = 6, jnp.float64
     m = prob.n_ctr
@@ -640,4 +702,13 @@ def test_reg_tracked_cold(trial):
         assert int(s1.status) == 0, (trial, b)
         np.testing.assert_array_equal(np.asarray(s1.ctr_type),
                                       np.asarray(sb.ctr_type))
-        assert float(jnp.max(jnp.abs(s1.v - sb.v))) < 1e-7, (trial, b)
+        # fixed-point v tolerance: the direct TIKHONOV y* is the exact
+        # damped minimizer (frame-robust, 1e-7); the truncated-CG y* is
+        # a fixed-trip Krylov iterate WITHOUT reorthogonalization, whose
+        # sensitivity to summation-order roundoff alone is ~1e7x
+        # (measured: identical inputs, vdot vs batched-sum order,
+        # 7e-9 at f64), so the ~1e-9-certified carried frame lands at
+        # ~1e-4 — that is CG truncation sensitivity, not tracker error.
+        v_tol = (1e-3 if reg_type == T.RegularizationType.TIKHONOV_CG
+                 else 1e-7)
+        assert float(jnp.max(jnp.abs(s1.v - sb.v))) < v_tol, (trial, b)

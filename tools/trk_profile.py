@@ -45,15 +45,30 @@ dtype = jnp.float32
 
 
 def slope(fn, args):
-    med = {}
+    # serialize timed phases against concurrent bench campaigns (same
+    # flock protocol as bench.py / bench_extra.py)
+    lock_path = os.environ.get("LEXLS_BENCH_LOCK")
+    lk = None
     for L in Ls:
-        np.asarray(fn(*args, L=L))
-        ts = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            np.asarray(fn(*args, L=L))
-            ts.append(time.perf_counter() - t0)
-        med[L] = statistics.median(ts)
+        np.asarray(fn(*args, L=L))  # compile outside the lock
+    if lock_path:
+        import fcntl
+
+        lk = open(lock_path, "w")
+        fcntl.flock(lk, fcntl.LOCK_EX)
+    try:
+        med = {}
+        for L in Ls:
+            np.asarray(fn(*args, L=L))  # re-warm under lock
+            ts = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                np.asarray(fn(*args, L=L))
+                ts.append(time.perf_counter() - t0)
+            med[L] = statistics.median(ts)
+    finally:
+        if lk is not None:
+            lk.close()
     return (med[max(Ls)] - med[min(Ls)]) / (max(Ls) - min(Ls))
 
 
