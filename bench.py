@@ -114,8 +114,17 @@ def main():
     ns_iters = int(os.environ.get("LEXLS_BENCH_NS_ITERS", 3))
     # tracked mode: hand only a leading slab of stragglers to the fused
     # kernel (permutes/kernel grid/tri-inv bootstrap all shrink to the
-    # slab; overflow falls back to full width).  0 = full-width.
+    # slab; overflow falls back to full width).  0 = full-width —
+    # measured BETTER (58.3K vs 48.9K at slab=192): parked trailing
+    # tiles exit the kernel immediately, so full width was already
+    # cheap and the slab only added overhead.
     handover_slab = int(os.environ.get("LEXLS_BENCH_HANDOVER_SLAB", 0))
+    # tracked mode: skip the greedy-extension block on the nochg trip
+    # (drift-induced rank growth falls back to the kernel instead).
+    # Round-5 wave 5: the extension block's serial dependency chain was
+    # ~2.8 ms of the trip — skipping it: 4.34 ms/step = 88.4K solves/s
+    # vs 7.11/54.0K with it (same 5376/5376 solved, same trajectories).
+    trip1_noext = os.environ.get("LEXLS_BENCH_TRIP1_NOEXT", "1") == "1"
 
     params = ParametersLexLSI(
         max_number_of_factorizations=250,
@@ -192,7 +201,7 @@ def main():
                     compact=compact, tile_b=tile_b,
                     compact_rounds=compact_rounds, loop_cap=loop_cap,
                     ns_iters=ns_iters, shrink=shrink,
-                    handover_slab=handover_slab)
+                    handover_slab=handover_slab, trip1_noext=trip1_noext)
                 return (st.x, st.ctr_type, car), (st.status, st.it)
 
             (x, ct, _), (statuses, its) = lax.scan(
@@ -306,7 +315,7 @@ def main():
     print(f"# mode={mode} device={dev.platform} B={B} Ts={Ts} reps={reps} "
           f"tile={tile} compact={compact}x{compact_rounds} tile_b={tile_b} "
           f"unroll={panel_unroll} loop_cap={loop_cap} ns={ns_iters} "
-          f"shrink={shrink} hslab={handover_slab} "
+          f"shrink={shrink} hslab={handover_slab} noext={int(trip1_noext)} "
           f"n={n_var} dims={dims} medians={ {T: round(med[T],3) for T in Ts} } "
           f"slope={slope*1e3:.2f}ms/step compile={compile_s:.0f}s "
           f"solved={int(solved)}/{total} mean_warm_iters={warm_it_sum/warm_count:.2f} "

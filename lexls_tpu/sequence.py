@@ -168,7 +168,7 @@ def solve_sequence_batched_native(
 @functools.partial(jax.jit, static_argnames=(
     "struct", "params", "tile", "interpret", "vmem_limit_mb", "compact",
     "tile_b", "compact_rounds", "tracked", "ns_iters", "cert_tol",
-    "loop_cap", "shrink", "handover_slab"))
+    "loop_cap", "shrink", "handover_slab", "trip1_noext"))
 def solve_sequence_batched_fused(
     A_seq, lb_seq, ub_seq, reg,
     struct: Structure, params: ParametersLexLSI,
@@ -177,6 +177,7 @@ def solve_sequence_batched_fused(
     tracked: bool = False,
     ns_iters: int = 3, cert_tol: float = None, loop_cap: int = 0,
     shrink: tuple = (), handover_slab: int = 0,
+    trip1_noext: bool = False,
 ):
     """Batched warm-started sequences through the fused whole-solve
     Pallas kernel (the throughput tier the bench measures), as a library
@@ -194,9 +195,13 @@ def solve_sequence_batched_fused(
     resolves dtype-aware (1e-3 at f32, 1e-9 at f64 — the accepted-carry
     accuracy contract, :func:`lexls_tpu.tracker.default_cert_tol`).
     Measured-best throughput config on the north-star workload (TPU
-    v5e, round-5 campaign, docs/performance.md): ``loop_cap=1`` with
-    the default ``ns_iters=3`` — one tracker trip, kernel tail
-    (58.3K solves/s at B=384 vs 29.5K for the unbounded default).
+    v5e, round-5 campaign, docs/performance.md): ``loop_cap=1,
+    ns_iters=3, trip1_noext=True`` — one extension-free tracker trip,
+    kernel tail (88.4K solves/s at B=384 vs 29.5K for the unbounded
+    default).  ``trip1_noext`` skips the greedy-extension block on the
+    no-change trip; drift-induced rank growth then finishes in the
+    exact kernel instead of being absorbed (identical results, fewer
+    sequential ops — conservative default False here).
 
     Same outputs as :func:`solve_sequence_batched` (each (B, T, ...)).
     """
@@ -239,7 +244,8 @@ def solve_sequence_batched_fused(
             st, carried = trk.solve_core_tracked(
                 A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype),
                 carried=carried, loop_cap=loop_cap, shrink=shrink,
-                handover_slab=handover_slab, **tkw)
+                handover_slab=handover_slab, trip1_noext=trip1_noext,
+                **tkw)
         else:
             st = solve_core_fused(
                 A, lb, ub, c, s, ns, x_prev, jnp.zeros((B, m), dtype), reg,

@@ -220,14 +220,16 @@ def _orthonormalize_z(G: jax.Array, live2, passes: int, u=None, s1=None,
         Gz = jnp.where(live2 > 0, Gz, eye)
     else:
         Z = jnp.broadcast_to(eye, G.shape)
-    cert = None
     for _ in range(max(1, passes)):
         E = Gz - eye
         Zi = eye - (jnp.triu(E, k=1) + 0.5 * E * eye)
         Z = (Z @ Zi) * live2
         Gz = jnp.swapaxes(Zi, -1, -2) @ Gz @ Zi
         Gz = jnp.where(live2 > 0, Gz, eye)
-        cert = jnp.max(jnp.abs(Gz - eye), axis=(-2, -1))
+    # the certificate is only consumed after the final pass — computing
+    # it per pass cost (passes-1) wasted |.|/max reduces per level per
+    # trip (the trip is op-issue bound)
+    cert = jnp.max(jnp.abs(Gz - eye), axis=(-2, -1))
     return Z, cert
 
 
@@ -565,8 +567,13 @@ def _factorize_carried(Ag, bg, rinv, pos, ranks, struct: Structure,
         eps_d = jnp.asarray(jnp.finfo(dtype).eps, dtype)
         bmax = jnp.max(jnp.abs(lvl[:, :, n]), axis=1)          # (B,)
         lam_floor = (8.0 * cert + 64.0 * eps_d) * bmax         # (B,)
-        Q = jnp.matmul(M, Z, precision=hp)                     # (B, dim, K)
-        rinv_new = jnp.matmul(rinv_k, Z, precision=hp)
+        # ONE matmul for [Q; rinv_new] = [M; rinv_k] @ Z — row-wise
+        # identical products, and the trip is op-issue bound (~40 us
+        # per batched matmul at B=384 regardless of size here)
+        MR = jnp.matmul(jnp.concatenate([M, rinv_k], axis=1), Z,
+                        precision=hp)                          # (B, dim+K, K)
+        Q = MR[:, :dim]                                        # (B, dim, K)
+        rinv_new = MR[:, dim:]
         W = jnp.einsum("bdk,bdc->bkc", Q, lvl, precision=hp)   # (B, K, n+1)
 
         # greedy extension: absorb rank growth (a newly activated
@@ -957,7 +964,8 @@ def _select_removal(lam_all, ct, st, Agm, fixed_mask, struct: Structure,
     static_argnames=("struct", "params", "tile", "interpret",
                      "vmem_limit_mb", "compact", "tile_b", "panel_unroll",
                      "compact_rounds", "ns_iters", "cert_tol", "ext_steps",
-                     "loop_cap", "shrink", "handover_slab", "debug_fall"),
+                     "loop_cap", "shrink", "handover_slab", "trip1_noext",
+                     "debug_fall"),
 )
 def solve_core_tracked(
     A, lb, ub, ctr_type0, stamp0, next_stamp0, x0, v0,
@@ -968,7 +976,7 @@ def solve_core_tracked(
     compact_rounds: int = 1,
     ns_iters: int = 2, cert_tol: float = None, ext_steps: int = 1,
     reg=None, loop_cap: int = 0, shrink: tuple = (),
-    handover_slab: int = 0,
+    handover_slab: int = 0, trip1_noext: bool = False,
     debug_fall: bool = False,
 ):
     """Batched warm solve with the WHOLE active-set loop on the MXU.
@@ -1021,7 +1029,8 @@ def solve_core_tracked(
         tile_b=tile_b, panel_unroll=panel_unroll,
         compact_rounds=compact_rounds, ns_iters=ns_iters,
         cert_tol=cert_tol, ext_steps=ext_steps, loop_cap=loop_cap,
-        shrink=shrink, handover_slab=handover_slab, debug_fall=debug_fall,
+        shrink=shrink, handover_slab=handover_slab,
+        trip1_noext=trip1_noext, debug_fall=debug_fall,
         reg=None if params.regularization_type == RegularizationType.NONE
         else reg)
 
@@ -1084,7 +1093,8 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                   interpret, vmem_limit_mb, compact, tile_b, panel_unroll,
                   compact_rounds, ns_iters, cert_tol, ext_steps, reg=None,
                   chg0=None, loop_cap: int = 0, shrink: tuple = (),
-                  handover_slab: int = 0, debug_fall: bool = False):
+                  handover_slab: int = 0, trip1_noext: bool = False,
+                  debug_fall: bool = False):
     """The tracker while-loop + kernel handover, from an already-built
     batched state (phase 1 done, or a mid-solve state from a capped
     kernel phase — the cold-start driver).
@@ -1204,9 +1214,16 @@ def _tracked_tail(A, s0, carried: Carried, *, struct, params, tile,
                               )[:, None].astype(jnp.int32), -1)
                 sgn = chg_sign * has_g
                 chg_arg = (a_row, hot_g, lv, sgn, chg_c, chg_w)
+            # ``trip1_noext``: a nochg trip has no working-set change by
+            # construction, so the greedy-extension block would only
+            # absorb DRIFT-induced rank growth — rare on warm workloads
+            # — at ~12 ops/level on the op-issue-bound trip.  With it
+            # skipped, such instances fail the trailing-column check
+            # and finish in the exact kernel (correct by fallback).
+            ext_k = 0 if (nochg and trip1_noext) else ext_steps
             ok, stash, fcs, pos_n, ranks_n, rinv_n, why = _factorize_carried(
                 Agz, bgz, rinv_c, pos_c, ranks_c, struct, params,
-                ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_steps,
+                ns_iters=ns_iters, cert_tol=cert_tol, ext_steps=ext_k,
                 reg_factors=reg, chg=chg_arg)
 
             x_star = _hot_solve(stash, fcs, pos_n, fixed_mask, fixed_val,

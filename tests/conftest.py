@@ -43,9 +43,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Clear JAX's compilation caches every N finished tests (see the crash
-# note above).  Costs some recompiles inside big param sweeps; 25 keeps
-# every process well under the observed ~35-compile crash threshold.
-_CLEAR_EVERY = int(os.environ.get("LEXLS_TEST_CLEAR_EVERY", "25"))
+# note above).  Costs some recompiles inside big param sweeps; 10 keeps
+# every process well under the observed crash threshold even for the
+# heavy tracker/fused files (25 survived 41 serial tracker tests but
+# crashed at 43 once the round-5 CG/slab tests were added).
+_CLEAR_EVERY = int(os.environ.get("LEXLS_TEST_CLEAR_EVERY", "10"))
 _finished = 0
 
 

@@ -34,7 +34,7 @@ def _level_norms(v, struct):
 
 
 def _drive(trial, kicks, B=8, loop_cap=0, shrink=(), handover_slab=0,
-           tile=None):
+           tile=None, trip1_noext=False):
     rng = np.random.default_rng(900 + trial)
     n = int(rng.integers(6, 14))
     p = int(rng.integers(2, 5))
@@ -86,7 +86,8 @@ def _drive(trial, kicks, B=8, loop_cap=0, shrink=(), handover_slab=0,
         stt, carried = tracker.solve_core_tracked(
             A_t, lbs, ubs, c, s_, ns, x_prev, v0, carried=carried,
             struct=struct, params=params, tile=tile or B, interpret=True,
-            loop_cap=loop_cap, shrink=shrink, handover_slab=handover_slab)
+            loop_cap=loop_cap, shrink=shrink, handover_slab=handover_slab,
+            trip1_noext=trip1_noext)
         np.testing.assert_array_equal(
             np.asarray(stt.status), np.asarray(ref.status),
             err_msg=f"trial {trial} step {t}")
@@ -291,6 +292,16 @@ def test_tracked_loop_cap_handover(trial, cap):
     XLA tier regardless of where the handover lands.  Large kicks force
     multi-iteration solves so the cap actually binds."""
     _drive(trial, kicks=(0.05, 0.3, 0.05), loop_cap=cap)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_tracked_trip1_noext(trial):
+    """trip1_noext: the nochg trip skips the greedy-extension block —
+    drift-induced rank growth then fails the trailing-column acceptance
+    and finishes in the exact kernel instead of being absorbed.  Results
+    must equal the XLA tier either way (correct by fallback); large
+    kicks maximize rank-profile churn."""
+    _drive(trial, kicks=(0.05, 0.3, 0.05), loop_cap=1, trip1_noext=True)
 
 
 @pytest.mark.parametrize("trial,slab,tile", [
