@@ -68,7 +68,10 @@ def main():
     n_var, dims = 100, (30, 30, 30, 30)
     B = int(os.environ.get("LEXLS_BENCH_B", 384 if on_tpu else 8))
     Ts = (2, 14) if on_tpu else (2, 4)
-    reps = int(os.environ.get("LEXLS_BENCH_REPS", 7 if on_tpu else 1))
+    # higher reps tighten the medians at negligible cost next to the
+    # ~900 s compile (run-to-run slope noise through the tunnel is
+    # ~±5% at reps=7 — the round-5 clean-remeasure spread)
+    reps = int(os.environ.get("LEXLS_BENCH_REPS", 11 if on_tpu else 1))
     # fused  = whole-solve Pallas kernel (active-set loop in VMEM)
     # native = natively-batched solver (+ Pallas panel kernels)
     # vmap   = vmapped per-instance solver (XLA)
@@ -105,13 +108,12 @@ def main():
         if z.strip())
     # tracked mode: first-order re-orthonormalization passes (the
     # analytic rank-1 pre-step handles the working-set spike; one pass
-    # contracts 1e-3 drift to ~1e-6 — within cert_tol).  Round-5
-    # campaign: at loop_cap=1 a THIRD pass pays for itself several
-    # times over — the tighter certificate keeps more instances in the
-    # tracker fast path and the fused-kernel straggler tail shrinks
-    # (ns=3: 6.59 ms/step = 58.3K solves/s vs ns=2: 8.52/45.1K;
-    # ns=1: 18.46/20.8K — cert accept-rate collapse).
-    ns_iters = int(os.environ.get("LEXLS_BENCH_NS_ITERS", 3))
+    # contracts 1e-3 drift to ~1e-6 — within cert_tol).  CLEAN round-5
+    # sequential re-measurement (docs/performance.md caveat: the
+    # concurrent-campaign numbers that first suggested ns=3 were
+    # contaminated): with trip1_noext, ns=2 is the measured best
+    # (6.92 ms/step = 55.5K) vs ns=3 (7.37-7.69/50-52K).
+    ns_iters = int(os.environ.get("LEXLS_BENCH_NS_ITERS", 2))
     # tracked mode: hand only a leading slab of stragglers to the fused
     # kernel (permutes/kernel grid/tri-inv bootstrap all shrink to the
     # slab; overflow falls back to full width).  0 = full-width —
@@ -229,16 +231,31 @@ def main():
     def fetch(out):
         return tuple(np.asarray(o) for o in out)
 
+    # Parallel config campaigns (several workers compiling different
+    # configs concurrently through the tunnel) serialize the timed
+    # phase on an EXCLUSIVE flock; compile-phase executions take the
+    # lock SHARED per fetch, so peer compiles overlap each other but
+    # can never run on-device DURING a measurement.  (The round-5 wave
+    # measurements held only the exclusive lock: a peer finishing its
+    # compile could still execute during a measurement, inflating the
+    # short-T median and DEFLATING the slope — the 4.34 ms/88.4K
+    # reading reproduced solo at 7.5 ms.)
+    lock_path = os.environ.get("LEXLS_BENCH_LOCK")
+
+    def _compile_fetch(T):
+        if lock_path:
+            import fcntl
+
+            with open(lock_path, "w") as shk:
+                fcntl.flock(shk, fcntl.LOCK_SH)
+                return fetch(run_summary(base, drifts, T=T))
+        return fetch(run_summary(base, drifts, T=T))
+
     t0 = time.perf_counter()
     for T in Ts:
-        fetch(run_summary(base, drifts, T=T))
+        _compile_fetch(T)
     compile_s = time.perf_counter() - t0
 
-    # Parallel config campaigns (several workers compiling different
-    # configs concurrently through the tunnel) serialize ONLY the timed
-    # phase on an flock so measurements never overlap another worker's
-    # execution; compiles still overlap.
-    lock_path = os.environ.get("LEXLS_BENCH_LOCK")
     lk = None
     if lock_path:
         import fcntl

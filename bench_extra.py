@@ -36,11 +36,23 @@ from jax import lax  # noqa: E402
 
 def _slope(run, args, Ns=(1, 9), reps=5):
     # serialize the timed phase against concurrent config campaigns
-    # (same flock protocol as bench.py); compiles still overlap
+    # (same flock protocol as bench.py: exclusive for measurement,
+    # SHARED around compile executions so peer compiles can never run
+    # on-device during anyone's measurement)
     lock_path = os.environ.get("LEXLS_BENCH_LOCK")
     lk = None
+
+    def _compile_run(N):
+        if lock_path:
+            import fcntl
+
+            with open(lock_path, "w") as shk:
+                fcntl.flock(shk, fcntl.LOCK_SH)
+                return np.asarray(run(*args, N=N))
+        return np.asarray(run(*args, N=N))
+
     for N in Ns:
-        np.asarray(run(*args, N=N))  # compile
+        _compile_run(N)  # compile
     if lock_path:
         import fcntl
 

@@ -175,7 +175,7 @@ def solve_sequence_batched_fused(
     tile: int = 64, interpret: bool = False, vmem_limit_mb: int = 100,
     compact: int = 1, tile_b: int = 0, compact_rounds: int = 1,
     tracked: bool = False,
-    ns_iters: int = 3, cert_tol: float = None, loop_cap: int = 0,
+    ns_iters: int = 2, cert_tol: float = None, loop_cap: int = 0,
     shrink: tuple = (), handover_slab: int = 0,
     trip1_noext: bool = False,
 ):
@@ -195,13 +195,13 @@ def solve_sequence_batched_fused(
     resolves dtype-aware (1e-3 at f32, 1e-9 at f64 — the accepted-carry
     accuracy contract, :func:`lexls_tpu.tracker.default_cert_tol`).
     Measured-best throughput config on the north-star workload (TPU
-    v5e, round-5 campaign, docs/performance.md): ``loop_cap=1,
-    ns_iters=3, trip1_noext=True`` — one extension-free tracker trip,
-    kernel tail (88.4K solves/s at B=384 vs 29.5K for the unbounded
-    default).  ``trip1_noext`` skips the greedy-extension block on the
-    no-change trip; drift-induced rank growth then finishes in the
-    exact kernel instead of being absorbed (identical results, fewer
-    sequential ops — conservative default False here).
+    v5e, round-5 CLEAN sequential re-measurement, docs/performance.md):
+    ``loop_cap=1, ns_iters=2, trip1_noext=True`` — one extension-free
+    tracker trip, kernel tail (55.5K solves/s at B=384 vs 37.6K for
+    the unbounded default).  ``trip1_noext`` skips the greedy-extension
+    block on the no-change trip; drift-induced rank growth then
+    finishes in the exact kernel instead of being absorbed (identical
+    results, fewer sequential ops — conservative default False here).
 
     Same outputs as :func:`solve_sequence_batched` (each (B, T, ...)).
     """

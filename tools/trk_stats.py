@@ -87,7 +87,9 @@ def main():
         stt, car_new, (fall, fall_trip, fall_why) = trk.solve_core_tracked(
             A, lb, ub, c, s_, ns, x_prev, v0, carried=car_prev,
             struct=struct, params=params, tile=64,
-            interpret=not on_tpu, vmem_limit_mb=100, debug_fall=True)
+            interpret=not on_tpu, vmem_limit_mb=100, debug_fall=True,
+            ns_iters=int(os.environ.get("TRK_NS", "2")),
+            trip1_noext=os.environ.get("TRK_NOEXT", "0") == "1")
         stt = jax.block_until_ready(stt)
         its = np.asarray(stt.it)
         fall = np.asarray(fall)
