@@ -143,12 +143,22 @@ def main():
     m = prob.n_ctr
     T_max = max(Ts)
 
+    # The DRIFT sequence is shared by every instance and dominates the
+    # warm-step difficulty (iteration counts are batch-correlated
+    # through it) — draw it from a dedicated B-INDEPENDENT stream so
+    # batch sizes are comparable.  (Discovered in round 5: drawing it
+    # after the B-sized base draw gave every B its own realization —
+    # B=448 landed an easy one, mean 1.09 warm iters vs 1.34 at B=384
+    # — making cross-B comparisons meaningless.  This changes the
+    # workload realization for ALL B vs earlier rounds' numbers; the
+    # round-5 clean re-baselines below were re-run on it.)
+    drifts = jnp.asarray(
+        1e-3 * np.cumsum(
+            np.random.default_rng(1).standard_normal(
+                (T_max,) + prob.A.shape), axis=0), dtype)
     base = jnp.asarray(
         np.stack([prob.A + 1e-3 * rng.standard_normal(prob.A.shape)
                   for _ in range(B)]), dtype)
-    drifts = jnp.asarray(
-        1e-3 * np.cumsum(rng.standard_normal((T_max,) + prob.A.shape), axis=0),
-        dtype)
     lbs = jnp.broadcast_to(jnp.asarray(prob.lb, dtype), (B, m))
     ubs = jnp.broadcast_to(jnp.asarray(prob.ub, dtype), (B, m))
     reg = jnp.asarray(prob.regularization, dtype)
