@@ -295,15 +295,32 @@ def _fused_kernel(ctx, A_in, lb_in, ub_in, ct_in, st_in, ns_in, x_in, v_in,
                                  axis=1)  # (TB, n) in {0,1}
             fixed_val = jnp.sum((act0 * rhs_row[:, :d0])[:, :, None]
                                 * vm[None, :, :], axis=1)
-            # nonzero-start basic slices on a Ref lower to a gather
-            # Mosaic rejects — use pl.ds for the ref, lax.slice for values
-            Af = A_in[:, pl.ds(d0, mg), :]
+            # Mosaic cannot reshape a lane-OFFSET vector to a trailing
+            # size-1 axis once the width crosses the 128-lane tile:
+            # any (TB, mg) SLICE (value slice or pl.ds ref load at a
+            # nonzero start) of the d0-offset general rows fails
+            # "Unsupported reshape" on `[:, :, None]` (observed on
+            # test_01: d0=60, mg=135).  Offset-free full-width vectors
+            # reshape fine — so mask A at FULL width (the d0 rows'
+            # product is discarded) and take the 3D mid-axis slice of
+            # the result, keeping the sliced 2D masks for 2D uses only.
+            # Bit-identical values.
             actg = lax.slice_in_dim(actf, d0, m, axis=1)
             rhsg = lax.slice_in_dim(rhs_row, d0, m, axis=1)
-            Agm = Af * actg[:, :, None]
+            Agm = lax.slice_in_dim(A_in[:] * actf[:, :, None],
+                                   d0, m, axis=1)
             lod_ref[:, :, :n] = Agm * (1.0 - fixed_mask[:, None, :])
-            lod_ref[:, :, n] = rhsg * actg - jnp.sum(
+            # the 2D->3D store of the rhs column reshapes its value to
+            # (TB, mg, 1) — unsupported for the OFFSET layout the
+            # rhsg/actg slices carry once mg > 128.  Relayout through
+            # an exact identity matmul (0/1 weights, one term per
+            # row-sum: bit-identical) before the store.
+            col = rhsg * actg - jnp.sum(
                 Agm * fixed_val[:, None, :], axis=2)
+            iota_g = lax.broadcasted_iota(jnp.int32, (mg, mg), 0)
+            eye_g = (iota_g == iota_g.T).astype(dtype)
+            lod_ref[:, :, n] = jnp.dot(col, eye_g,
+                                       precision=lax.Precision.HIGHEST)
         else:
             fixed_mask = fixed_val = Agm = None
             lod_ref[:, :, :n] = A_in[:] * actf[:, :, None]
