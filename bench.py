@@ -90,12 +90,12 @@ def main():
     compact_rounds = int(os.environ.get("LEXLS_BENCH_COMPACT_ROUNDS", 1))
     # tracked mode: full-batch tracker trips before the fused-kernel
     # handover absorbs the straggler tail (0 = unbounded).  Round-5
-    # campaign (tools/r5logs): loop_cap=1 + no pyramid is the measured
-    # best at B=384 — ONE cheap nochg-specialized trip resolves ~2/3 of
-    # instances and the fused kernel absorbs the straggler tail faster
-    # than further absorption-bearing tracker trips would
-    # (8.52 ms/step = 45.1K solves/s, vs 11.78/32.6K for cap=0 +
-    # shrink=(192,96) and 13.00/29.5K for cap=0 without the pyramid).
+    # CLEAN re-measurement (tools/r5logs/clean_*): loop_cap=1 + no
+    # pyramid is the measured best at B=384 — ONE cheap
+    # nochg-specialized trip resolves ~2/3 of instances and the fused
+    # kernel absorbs the straggler tail faster than further
+    # absorption-bearing tracker trips would (7.4-7.7 ms/step vs 10.22
+    # for cap=0 and 9.54 for cap=2, all at ns=3/noext or ns=2/noext).
     loop_cap = int(os.environ.get("LEXLS_BENCH_LOOP_CAP", 1))
     # tracked mode: pyramid slab sizes (comma-separated) — compact
     # stragglers to shrinking leading slabs instead of paying
@@ -117,15 +117,17 @@ def main():
     # tracked mode: hand only a leading slab of stragglers to the fused
     # kernel (permutes/kernel grid/tri-inv bootstrap all shrink to the
     # slab; overflow falls back to full width).  0 = full-width —
-    # measured BETTER (58.3K vs 48.9K at slab=192): parked trailing
-    # tiles exit the kernel immediately, so full width was already
-    # cheap and the slab only added overhead.
+    # measured better (wave-4 campaign, ~17% at slab=192): parked
+    # trailing tiles exit the kernel immediately, so full width was
+    # already cheap and the slab only added overhead.
     handover_slab = int(os.environ.get("LEXLS_BENCH_HANDOVER_SLAB", 0))
     # tracked mode: skip the greedy-extension block on the nochg trip
-    # (drift-induced rank growth falls back to the kernel instead).
-    # Round-5 wave 5: the extension block's serial dependency chain was
-    # ~2.8 ms of the trip — skipping it: 4.34 ms/step = 88.4K solves/s
-    # vs 7.11/54.0K with it (same 5376/5376 solved, same trajectories).
+    # (drift-induced rank growth falls back to the kernel instead —
+    # measured fall rates are identical with/without the block on this
+    # workload).  Clean round-5 re-measurement: +7.5% (8.26 -> 7.69
+    # ms/step at ns=3), identical trajectories; an earlier "88.4K"
+    # reading for this knob was a measurement artifact
+    # (docs/performance.md caveat).
     trip1_noext = os.environ.get("LEXLS_BENCH_TRIP1_NOEXT", "1") == "1"
 
     params = ParametersLexLSI(
